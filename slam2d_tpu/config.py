@@ -1,0 +1,147 @@
+"""Frozen config dataclasses (SURVEY.md §7 "Config / flag system").
+
+The reference hard-codes constants in scripts; here every stage is driven by
+a frozen dataclass so configs can be static jit arguments. All shapes derived
+from these are static — XLA never sees a dynamic shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """2D planar laser model (CARMEN FLASER-style: 180deg FOV, 1deg steps)."""
+
+    n_beams: int = 180
+    fov_rad: float = math.pi          # 180 degrees
+    min_range: float = 0.10           # ranges below this are invalid
+    max_range: float = 12.0           # clip; CARMEN logs report 81.9 for no-hit
+    # Angle of beam 0 relative to robot heading (CARMEN: -90 deg).
+    angle_min: float = -math.pi / 2.0
+
+    def beam_angles(self):
+        import numpy as np
+
+        step = self.fov_rad / max(self.n_beams - 1, 1)
+        return self.angle_min + step * np.arange(self.n_beams)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Fixed-capacity world-anchored log-odds grid (SURVEY.md §4.2).
+
+    The reference grows its arrays when the robot nears a border; we use a
+    fixed [H, W] tensor (static shapes for XLA) whose world origin is chosen
+    at init. `tile` variants come from slam2d_tpu.grid.tiles.
+    """
+
+    height: int = 1024
+    width: int = 1024
+    resolution: float = 0.10          # meters per cell
+    # World coordinate of the *center* cell (H//2, W//2).
+    center_x: float = 0.0
+    center_y: float = 0.0
+    l_occ: float = 0.85               # log-odds increment for an endpoint hit
+    l_free: float = -0.40             # log-odds increment per free-space sample
+    l_clamp: float = 10.0             # |log-odds| clamp
+    # Static number of free-space samples per beam; sample spacing adapts to
+    # the actual range so shapes stay static (SURVEY.md §9 "static shapes").
+    ray_samples: int = 192
+
+    @property
+    def origin_x(self) -> float:
+        return self.center_x - (self.width // 2) * self.resolution
+
+    @property
+    def origin_y(self) -> float:
+        return self.center_y - (self.height // 2) * self.resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Correlative scan matcher (SURVEY.md §4.1).
+
+    Search is over a fixed (theta, y, x) window around the odometry prior.
+    Coarse pass uses a max-pooled ("conservative", Olson-2009 style) search
+    space at `coarse_factor`x lower resolution over the full window; the fine
+    pass searches +/- one coarse cell at full resolution.
+    """
+
+    # Translation search half-window, meters (full window = 2*r + 1 cells).
+    search_xy: float = 0.4
+    # Rotation half-window and step, radians.
+    search_theta: float = 0.20
+    n_theta: int = 17                 # odd: includes delta-theta = 0
+    coarse_factor: int = 4            # coarse grid pooling factor
+    sigma_cells: float = 1.0          # Gaussian blur sigma for the search space
+    blur_halfwidth: int = 4           # blur kernel half width in cells
+    occ_threshold: float = 0.5        # p(cell) above this counts as occupied
+    occ_evidence_sat: float = 2.0     # log-odds at which a cell counts as a full wall
+    free_threshold: float = 0.45      # p(cell) below this counts as known-free
+    free_penalty: float = 0.6         # negative field value deep in free space
+    min_score: float = 0.15           # below: distrust match, keep prior
+    # Weight of the Gaussian motion prior penalty subtracted from the score
+    # surface (score units per m^2 / rad^2). Breaks plateau ties toward the
+    # odometry prior and regularizes low-texture matches.
+    prior_xy_weight: float = 2.0
+    prior_theta_weight: float = 2.0
+
+    def n_xy(self, resolution: float) -> int:
+        """Fine-resolution full window size (odd) in cells."""
+        r = int(round(self.search_xy / resolution))
+        return 2 * r + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PFConfig:
+    """FastSLAM particle filter (SURVEY.md §4.3)."""
+
+    n_particles: int = 32
+    # Odometry proposal noise (std-dev) on x, y, theta per step.
+    noise_xy: float = 0.04
+    noise_theta: float = 0.02
+    resample_threshold: float = 0.5   # resample when N_eff < threshold * N
+    # Per-particle refinement matcher window (smaller than frontend's).
+    refine_xy: float = 0.30
+    refine_theta: float = 0.10
+    refine_n_theta: int = 9
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph backend (SURVEY.md §4.4)."""
+
+    keyframe_dist: float = 0.5        # admit keyframe every d meters ...
+    keyframe_angle: float = 0.5       # ... or psi radians
+    max_nodes: int = 512              # static node capacity
+    max_edges: int = 2048             # static edge capacity
+    gn_iters: int = 10
+    loop_radius: float = 3.0          # spatial gate for loop candidates
+    loop_min_gap: int = 20            # min keyframe index gap for a loop
+    loop_score_accept: float = 0.55   # matcher score to accept a loop edge
+    damping: float = 1e-6             # Levenberg damping on H diagonal
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Everything the scan-matching frontend needs (configs 1-2)."""
+
+    sensor: SensorConfig = SensorConfig()
+    grid: GridConfig = GridConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    # Scans per lax.scan chunk in the driver loop.
+    chunk: int = 32
+    # Bootstrap: trust odometry (no matching) until this much travel, while
+    # integrating every scan — a single-viewpoint map is a string of beam
+    # endpoints ("beads") that drags incremental matching backward; waiting
+    # for viewpoint diversity before trusting the matcher kills the early
+    # transient that otherwise bakes error into the map.
+    bootstrap_dist: float = 3.0
+    # Motion filter: after bootstrap, only integrate a scan into the map
+    # when the robot moved/rotated this much since the last integration
+    # (reduces same-viewpoint map poisoning; Cartographer-style).
+    map_update_min_motion: float = 0.30
+    map_update_min_rot: float = 0.25

@@ -1,0 +1,92 @@
+"""CARMEN / JSON log loaders (SURVEY.md §2 L0, §3 "Data preprocessor").
+
+The reference preprocesses raw Radish CARMEN logs into per-dataset JSON with
+records {x, y, theta, range[]}. We support both on the host:
+
+- `load_carmen_log`: parses `FLASER` lines (which carry their own odometry
+  fields) and plain `ODOM` lines from a raw CARMEN file.
+- `load_json_log`: reads the reference's preprocessed-JSON shape — either a
+  list of records or a dict keyed by timestamp with
+  {"x", "y", "theta", "range": [...]} — tolerating a few common key spellings.
+
+Output contract everywhere: dict of float32 arrays
+  odom   [T, 3]   (x, y, theta) odometry pose per scan
+  ranges [T, B]   raw ranges (not yet clipped; pipeline clips via SensorConfig)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def load_carmen_log(path: str):
+    """Parse FLASER entries from a raw CARMEN log file.
+
+    FLASER format: `FLASER num_readings r1 ... rn x y theta odom_x odom_y
+    odom_theta ts host log_ts` — we take the odometry pose fields.
+    """
+    odoms, scans = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] != "FLASER":
+                continue
+            n = int(parts[1])
+            ranges = [float(v) for v in parts[2 : 2 + n]]
+            # fields after ranges: x y theta odom_x odom_y odom_theta ...
+            ox, oy, oth = (float(v) for v in parts[2 + n + 3 : 2 + n + 6])
+            odoms.append((ox, oy, oth))
+            scans.append(ranges)
+    if not scans:
+        raise ValueError(f"no FLASER entries in {path}")
+    return {
+        "odom": np.asarray(odoms, dtype=np.float32),
+        "ranges": np.asarray(scans, dtype=np.float32),
+    }
+
+
+_XY_KEYS = (("x", "y", "theta"), ("x", "y", "t"), ("odom_x", "odom_y", "odom_theta"))
+_RANGE_KEYS = ("range", "ranges", "scan", "readings")
+
+
+def _record_to_row(rec: dict):
+    for kx, ky, kt in _XY_KEYS:
+        if kx in rec and ky in rec and kt in rec:
+            pose = (float(rec[kx]), float(rec[ky]), float(rec[kt]))
+            break
+    else:
+        raise KeyError(f"no pose keys in record: {sorted(rec)[:8]}")
+    for kr in _RANGE_KEYS:
+        if kr in rec:
+            return pose, [float(v) for v in rec[kr]]
+    raise KeyError(f"no range key in record: {sorted(rec)[:8]}")
+
+
+def load_json_log(path: str):
+    """Read a preprocessed JSON log (list of records, or dict keyed by time)."""
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        if "map" in data and isinstance(data["map"], dict):
+            data = data["map"]
+        records = [data[k] for k in sorted(data, key=_num_or_str)]
+    else:
+        records = data
+    odoms, scans = [], []
+    for rec in records:
+        pose, ranges = _record_to_row(rec)
+        odoms.append(pose)
+        scans.append(ranges)
+    return {
+        "odom": np.asarray(odoms, dtype=np.float32),
+        "ranges": np.asarray(scans, dtype=np.float32),
+    }
+
+
+def _num_or_str(k):
+    try:
+        return (0, float(k))
+    except (TypeError, ValueError):
+        return (1, str(k))

@@ -1,0 +1,8 @@
+from slam2d_tpu.grid.occupancy import (  # noqa: F401
+    cell_center_world,
+    make_grid,
+    occupancy_prob,
+    raycast_update,
+    world_to_cell,
+    world_to_cell_float,
+)

@@ -1,0 +1,139 @@
+"""Log-odds occupancy grid as a fixed-shape JAX array (SURVEY.md §4.2, L1).
+
+The reference keeps a dynamically-growing per-object NumPy grid updated one
+beam at a time; here the grid is a static `[H, W]` float32 log-odds tensor
+(rows = y, cols = x, world-anchored at GridConfig.origin) and the whole scan
+updates in one fused scatter-add:
+
+- every beam is sampled at `ray_samples` static points along the ray
+  (free-space update, per-sample increment rescaled so the *per-cell* free
+  evidence is independent of the oversampling factor),
+- endpoint cells (hits with r < max_range) get the occupied update,
+- everything clamps to +/- l_clamp.
+
+Static shapes mean the same code vmaps over particles ([P, H, W] maps,
+SURVEY.md §4.3) and shards over mesh axes unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam2d_tpu.config import GridConfig, SensorConfig
+
+
+def make_grid(cfg: GridConfig, dtype=jnp.float32):
+    """Fresh all-unknown (log-odds 0) grid."""
+    return jnp.zeros((cfg.height, cfg.width), dtype=dtype)
+
+
+def occupancy_prob(logodds):
+    """p(occupied) = 1 - 1/(1+e^l) = sigmoid(l)."""
+    return jax.nn.sigmoid(logodds)
+
+
+def world_to_cell_float(xy, cfg: GridConfig):
+    """World (x, y) -> fractional (row, col). Row = y axis, col = x axis."""
+    col = (xy[..., 0] - cfg.origin_x) / cfg.resolution
+    row = (xy[..., 1] - cfg.origin_y) / cfg.resolution
+    return jnp.stack([row, col], axis=-1)
+
+
+def world_to_cell(xy, cfg: GridConfig):
+    """World (x, y) -> integer (row, col) cell index (not clipped)."""
+    rc = world_to_cell_float(xy, cfg)
+    return jnp.floor(rc).astype(jnp.int32)
+
+
+def cell_center_world(rc, cfg: GridConfig):
+    """Integer (row, col) -> world (x, y) of the cell center."""
+    row = rc[..., 0].astype(jnp.float32)
+    col = rc[..., 1].astype(jnp.float32)
+    x = cfg.origin_x + (col + 0.5) * cfg.resolution
+    y = cfg.origin_y + (row + 0.5) * cfg.resolution
+    return jnp.stack([x, y], axis=-1)
+
+
+def beam_angles(sensor: SensorConfig):
+    return jnp.asarray(np.asarray(sensor.beam_angles()), dtype=jnp.float32)
+
+
+def raycast_update(
+    logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig, enable=1.0
+):
+    """Integrate one scan taken from `pose` into the log-odds grid.
+
+    Args:
+      logodds: [H, W] float32.
+      pose: [3] (x, y, theta) world pose of the sensor.
+      ranges: [B] float32 measured ranges (pre-clipped or raw).
+      enable: scalar in {0, 1} multiplying all increments — lets a jitted
+        caller gate the update (motion filter) without dynamic control flow.
+    Returns:
+      updated [H, W] log-odds.
+    """
+    angles = beam_angles(sensor) + pose[2]          # [B] world bearing
+    r = ranges.astype(jnp.float32)
+    valid = (r > sensor.min_range) & jnp.isfinite(r)
+    hit = valid & (r < sensor.max_range)
+    r_clip = jnp.clip(r, 0.0, sensor.max_range)
+
+    dirx = jnp.cos(angles)
+    diry = jnp.sin(angles)
+
+    # --- free-space samples -------------------------------------------------
+    S = cfg.ray_samples
+    # Stop one cell short of the endpoint so the hit cell keeps its evidence.
+    r_free = jnp.maximum(r_clip - cfg.resolution, 0.0)          # [B]
+    frac = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S          # [S]
+    d = r_free[:, None] * frac[None, :]                          # [B, S]
+    fx = pose[0] + dirx[:, None] * d
+    fy = pose[1] + diry[:, None] * d
+    fcol = jnp.floor((fx - cfg.origin_x) / cfg.resolution).astype(jnp.int32)
+    frow = jnp.floor((fy - cfg.origin_y) / cfg.resolution).astype(jnp.int32)
+
+    # Per-sample increment scaled so that a traversed cell accumulates about
+    # l_free total regardless of how many of the S samples land inside it.
+    spacing = r_free / S                                         # [B]
+    scale = jnp.minimum(spacing / cfg.resolution, 1.0)           # [B]
+    free_w = cfg.l_free * scale[:, None] * valid[:, None]        # [B, S]
+
+    in_bounds = (
+        (frow >= 0) & (frow < cfg.height) & (fcol >= 0) & (fcol < cfg.width)
+    )
+    free_w = jnp.where(in_bounds, free_w, 0.0)
+    frow = jnp.clip(frow, 0, cfg.height - 1)
+    fcol = jnp.clip(fcol, 0, cfg.width - 1)
+
+    # --- endpoint (occupied) samples ---------------------------------------
+    ex = pose[0] + dirx * r_clip
+    ey = pose[1] + diry * r_clip
+    ecol = jnp.floor((ex - cfg.origin_x) / cfg.resolution).astype(jnp.int32)
+    erow = jnp.floor((ey - cfg.origin_y) / cfg.resolution).astype(jnp.int32)
+    e_in = (erow >= 0) & (erow < cfg.height) & (ecol >= 0) & (ecol < cfg.width)
+    occ_w = jnp.where(hit & e_in, cfg.l_occ, 0.0)                # [B]
+    erow = jnp.clip(erow, 0, cfg.height - 1)
+    ecol = jnp.clip(ecol, 0, cfg.width - 1)
+
+    rows = jnp.concatenate([frow.reshape(-1), erow])
+    cols = jnp.concatenate([fcol.reshape(-1), ecol])
+    w = jnp.concatenate([free_w.reshape(-1), occ_w]).astype(logodds.dtype)
+    w = w * enable
+
+    out = logodds.at[rows, cols].add(w, mode="drop")
+    return jnp.clip(out, -cfg.l_clamp, cfg.l_clamp)
+
+
+def scan_endpoints_local(ranges, sensor: SensorConfig):
+    """Beam endpoints in the sensor frame, [B, 2], plus a validity mask [B].
+
+    Only hits (min_range < r < max_range) are valid for matching/weighting.
+    """
+    angles = beam_angles(sensor)
+    r = ranges.astype(jnp.float32)
+    valid = (r > sensor.min_range) & (r < sensor.max_range) & jnp.isfinite(r)
+    r_clip = jnp.clip(r, 0.0, sensor.max_range)
+    pts = jnp.stack([r_clip * jnp.cos(angles), r_clip * jnp.sin(angles)], axis=-1)
+    return pts, valid

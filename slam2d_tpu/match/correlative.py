@@ -1,0 +1,254 @@
+"""Correlative scan matching over multi-resolution grids (SURVEY.md §4.1, L2).
+
+The reference does a triple Python loop (theta, dx, dy) of per-beam map
+lookups against a Gaussian-smeared occupancy image. TPU-first formulation:
+
+- the "search space" S is a likelihood field: occupied mask blurred with a
+  peak-normalized Gaussian (two separable 1-D convolutions — XLA fuses these
+  and they are trivially cheap next to the scoring gather),
+- the coarse level is a max-pool of S ("conservative" coarse grid in the
+  Olson-2009 sense: coarse scores upper-bound fine scores),
+- candidate scoring is ONE dense gather: endpoint cells for every
+  (theta, drow, dcol) candidate are materialized as a [T, R, C, B] index
+  tensor and S is gathered once — no data-dependent control flow, fully
+  vmappable over particles.
+
+All window sizes are static (derived from MatcherConfig), so the same jitted
+code serves frontend tracking, per-particle refinement, and wide-window loop
+closure scoring.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from slam2d_tpu.config import GridConfig, MatcherConfig, SensorConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.grid.occupancy import occupancy_prob, scan_endpoints_local
+
+
+def _gaussian_kernel_1d(sigma: float, halfwidth: int) -> np.ndarray:
+    x = np.arange(-halfwidth, halfwidth + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / max(sigma, 1e-6)) ** 2)
+    return (k / k.max()).astype(np.float32)  # peak-normalized: S in [0, 1]
+
+
+def build_search_space(logodds, mcfg: MatcherConfig):
+    """Blurred occupied-cell likelihood field, same shape as the grid.
+
+    Beyond the reference's Gaussian smear of occupied cells, known-FREE cells
+    contribute a negative term: an endpoint hypothesis that lands where the
+    map says "observed empty" is evidence against that pose (this is the
+    range information an endpoint-only likelihood field throws away, and it
+    kills the scan-to-scan "bead coincidence" attractor that otherwise drags
+    incremental matching backward along corridors). The penalty fades where
+    the occupied blur is strong so the skirt just in front of a wall — where
+    legitimate sensor noise lands — is not punished.
+
+    Output range: [-free_penalty, 1].
+    """
+    p = occupancy_prob(logodds)
+    # Evidence weighting: a cell observed occupied once (log-odds ~l_occ)
+    # counts less than an established wall. This dilutes the newest scan's
+    # contribution relative to accumulated structure.
+    occ = jnp.clip(logodds / mcfg.occ_evidence_sat, 0.0, 1.0)
+    k = jnp.asarray(_gaussian_kernel_1d(mcfg.sigma_cells, mcfg.blur_halfwidth))
+    img = occ[None, None, :, :]
+    kr = k.reshape(1, 1, -1, 1)
+    kc = k.reshape(1, 1, 1, -1)
+    img = lax.conv_general_dilated(img, kr, (1, 1), "SAME")
+    img = lax.conv_general_dilated(img, kc, (1, 1), "SAME")
+    blur = jnp.clip(img[0, 0], 0.0, 1.0)
+    free = (p < mcfg.free_threshold).astype(jnp.float32)
+    return blur - mcfg.free_penalty * free * (1.0 - blur)
+
+
+def coarse_space(S, factor: int):
+    """Conservative (max-pool) coarse search space; factor must divide shape."""
+    H, W = S.shape
+    return S.reshape(H // factor, factor, W // factor, factor).max(axis=(1, 3))
+
+
+def score_offsets(
+    S,
+    prior_pose,
+    pts_local,
+    valid,
+    dthetas,
+    drows,
+    dcols,
+    cell_size: float,
+    origin_xy,
+    bilinear: bool = False,
+):
+    """Score every (dtheta, drow, dcol) candidate around prior_pose.
+
+    A candidate pose is prior ⊞ (dcol*cell, drow*cell, dtheta) in the WORLD
+    frame (translation offsets are world-axis aligned, like the reference's
+    grid search). Score = mean over valid beams of S at the beam endpoints;
+    with `bilinear` the field is sampled at the fractional endpoint position
+    (unbiased, sharper peak — used for the fine pass).
+
+    Args:
+      S: [H, W] search space at resolution `cell_size` anchored at origin_xy.
+      prior_pose: [3].
+      pts_local: [B, 2] beam endpoints in the sensor frame.
+      valid: [B] bool.
+      dthetas: [T] rotation offsets (radians).
+      drows / dcols: [R] / [C] integer cell offsets.
+    Returns:
+      [T, R, C] float32 scores in [0, 1].
+    """
+    H, W = S.shape
+    theta = prior_pose[2] + dthetas                       # [T]
+    pts = se2.rotate_points(theta, pts_local[None, :, :])  # [T, B, 2]
+    # fractional position in cell-center coordinates
+    pos_col = (pts[..., 0] + prior_pose[0] - origin_xy[0]) / cell_size - 0.5
+    pos_row = (pts[..., 1] + prior_pose[1] - origin_xy[1]) / cell_size - 0.5
+
+    flat = S.reshape(-1)
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+    def gather_sum(base_row, base_col, beam_w):
+        """Sum_b w_b * S[base_row_b + drow, base_col_b + dcol] -> [T, R, C]."""
+        rows = base_row[:, None, :] + drows[None, :, None]    # [T, R, B]
+        cols = base_col[:, None, :] + dcols[None, :, None]    # [T, C, B]
+        in_r = (rows >= 0) & (rows < H)
+        in_c = (cols >= 0) & (cols < W)
+        rows = jnp.clip(rows, 0, H - 1)
+        cols = jnp.clip(cols, 0, W - 1)
+        idx = rows[:, :, None, :] * W + cols[:, None, :, :]   # [T, R, C, B]
+        vals = jnp.take(flat, idx.reshape(-1), mode="clip").reshape(idx.shape)
+        mask = in_r[:, :, None, :] & in_c[:, None, :, :]
+        w = jnp.where(mask, beam_w[:, None, None, :], 0.0)
+        return jnp.sum(vals * w, axis=-1)
+
+    vweight = valid.astype(jnp.float32)[None, :]              # [1, B]
+    if not bilinear:
+        base_col = jnp.round(pos_col).astype(jnp.int32)
+        base_row = jnp.round(pos_row).astype(jnp.int32)
+        return gather_sum(base_row, base_col, vweight * jnp.ones_like(pos_col)) / denom
+
+    c0 = jnp.floor(pos_col)
+    r0 = jnp.floor(pos_row)
+    fc = pos_col - c0                                         # [T, B]
+    fr = pos_row - r0
+    c0 = c0.astype(jnp.int32)
+    r0 = r0.astype(jnp.int32)
+    acc = gather_sum(r0, c0, vweight * (1 - fr) * (1 - fc))
+    acc += gather_sum(r0, c0 + 1, vweight * (1 - fr) * fc)
+    acc += gather_sum(r0 + 1, c0, vweight * fr * (1 - fc))
+    acc += gather_sum(r0 + 1, c0 + 1, vweight * fr * fc)
+    return acc / denom
+
+
+def _argmax3(scores):
+    """(t, r, c) index of the max of a [T, R, C] array."""
+    flat_idx = jnp.argmax(scores.reshape(-1))
+    T, R, C = scores.shape
+    t = flat_idx // (R * C)
+    rc = flat_idx % (R * C)
+    return t, rc // C, rc % C
+
+
+def match_scan(
+    logodds,
+    ranges,
+    prior_pose,
+    gcfg: GridConfig,
+    mcfg: MatcherConfig,
+    sensor: SensorConfig,
+    search_space=None,
+):
+    """Coarse-to-fine correlative match of one scan against the grid.
+
+    Returns (pose [3], score scalar). A Gaussian motion-model penalty
+    (prior_*_weight) regularizes the argmax toward the odometry prior —
+    this both breaks plateau ties in flat score regions and mirrors the
+    reference's odometry-trusting behavior. If the best fine score is below
+    mcfg.min_score the prior pose is returned, which covers the empty-map
+    first scans.
+    """
+    S = build_search_space(logodds, mcfg) if search_space is None else search_space
+    f = mcfg.coarse_factor
+    Sc = coarse_space(S, f)
+
+    pts_local, valid = scan_endpoints_local(ranges, sensor)
+    origin = jnp.asarray([gcfg.origin_x, gcfg.origin_y], dtype=jnp.float32)
+
+    dthetas = jnp.asarray(
+        np.linspace(-mcfg.search_theta, mcfg.search_theta, mcfg.n_theta),
+        dtype=jnp.float32,
+    )
+
+    def penalty(dx_m, dy_m, dth):
+        """Motion-prior penalty surface [T, R, C] from per-axis offsets."""
+        return (
+            mcfg.prior_theta_weight * (dth**2)[:, None, None]
+            + mcfg.prior_xy_weight * (dy_m**2)[None, :, None]
+            + mcfg.prior_xy_weight * (dx_m**2)[None, None, :]
+        )
+
+    # --- coarse pass over the full window ---------------------------------
+    r_fine = int(round(mcfg.search_xy / gcfg.resolution))
+    r_coarse = int(math.ceil(r_fine / f))
+    coarse_off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
+    cs = gcfg.resolution * f
+    sc = score_offsets(
+        Sc, prior_pose, pts_local, valid, dthetas, coarse_off, coarse_off,
+        cs, origin,
+    )
+    off_m = coarse_off.astype(jnp.float32) * cs
+    sc = sc - penalty(off_m, off_m, dthetas)
+    tc, rc, cc = _argmax3(sc)
+    coarse_dx = coarse_off[cc].astype(jnp.float32) * cs
+    coarse_dy = coarse_off[rc].astype(jnp.float32) * cs
+    prior2 = jnp.stack(
+        [prior_pose[0] + coarse_dx, prior_pose[1] + coarse_dy, prior_pose[2]]
+    )
+
+    # --- fine pass: +/- one coarse cell at full res, bilinear sampling -----
+    fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
+    sf = score_offsets(
+        S, prior2, pts_local, valid, dthetas, fine_off, fine_off,
+        gcfg.resolution, origin, bilinear=True,
+    )
+    fine_m = fine_off.astype(jnp.float32) * gcfg.resolution
+    sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dthetas)
+    tf_, rf, cf = _argmax3(sf)
+    best = sf[tf_, rf, cf]
+
+    # --- sub-cell / sub-bin quadratic peak interpolation -------------------
+    def subpeak(axis_idx, along):
+        """1-D quadratic refinement of the peak along one axis of sf."""
+        n = sf.shape[along]
+        i0 = jnp.clip(axis_idx, 1, n - 2)
+        sl = [tf_, rf, cf]
+        sm = sl.copy(); sm[along] = i0 - 1
+        s0 = sl.copy(); s0[along] = i0
+        sp = sl.copy(); sp[along] = i0 + 1
+        vm, v0, vp = sf[tuple(sm)], sf[tuple(s0)], sf[tuple(sp)]
+        denom = vm - 2.0 * v0 + vp
+        d = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (vm - vp) / denom, 0.0)
+        d = jnp.clip(d, -0.5, 0.5)
+        # Only valid if the argmax wasn't clamped at the window border.
+        return jnp.where((axis_idx >= 1) & (axis_idx <= n - 2), d, 0.0)
+
+    dth_step = float(2 * mcfg.search_theta / max(mcfg.n_theta - 1, 1))
+    sub_t = subpeak(tf_, 0) * dth_step
+    sub_r = subpeak(rf, 1) * gcfg.resolution
+    sub_c = subpeak(cf, 2) * gcfg.resolution
+
+    pose = jnp.stack(
+        [
+            prior2[0] + fine_off[cf].astype(jnp.float32) * gcfg.resolution + sub_c,
+            prior2[1] + fine_off[rf].astype(jnp.float32) * gcfg.resolution + sub_r,
+            se2.wrap_angle(prior_pose[2] + dthetas[tf_] + sub_t),
+        ]
+    )
+    pose = jnp.where(best >= mcfg.min_score, pose, prior_pose)
+    return pose, best

@@ -1,0 +1,122 @@
+"""Scan-matching SLAM frontend driver (SURVEY.md §5.1, configs 1-2).
+
+The reference's `main.py` loop is: prior = prev ⊕ odom-delta; matchScan;
+update grid; plot. Here the per-scan step is a pure jitted function, the
+driver rolls `chunk` scans into one `lax.scan` (host only streams chunks and
+collects trajectories — SURVEY.md §9 "host owns only streaming/control
+flow"), and the map state is donated so the [H, W] grid never round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam2d_tpu.config import FrontendConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.match.correlative import match_scan
+
+
+class FrontendState(NamedTuple):
+    logodds: jax.Array       # [H, W]
+    pose: jax.Array          # [3] current corrected pose estimate
+    prev_odom: jax.Array     # [3] odometry pose at the previous scan
+    dist: jax.Array          # scalar: cumulative distance traveled
+    last_map_pose: jax.Array # [3] pose at the last map integration
+
+
+def frontend_init(cfg: FrontendConfig, start_pose=None, start_odom=None):
+    pose = jnp.zeros(3, jnp.float32) if start_pose is None else jnp.asarray(start_pose, jnp.float32)
+    odom = pose if start_odom is None else jnp.asarray(start_odom, jnp.float32)
+    # distinct buffers everywhere — the chunk runner donates the state, and
+    # aliased leaves would be donated twice
+    return FrontendState(
+        make_grid(cfg.grid), pose, odom + 0.0, jnp.float32(0.0), pose + 0.0
+    )
+
+
+def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
+    """One scan: odometry prior -> correlative match -> gated map update.
+
+    Bootstrap (first `bootstrap_dist` meters) trusts the odometry prior and
+    integrates every scan; afterwards the matched pose wins and the map only
+    integrates on sufficient motion (see FrontendConfig for why).
+    """
+    delta = se2.between(state.prev_odom, odom)
+    prior = se2.compose(state.pose, delta)
+    matched, score = match_scan(
+        state.logodds, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor
+    )
+    in_boot = state.dist < cfg.bootstrap_dist
+    pose = jnp.where(in_boot, prior, matched)
+
+    moved = jnp.hypot(
+        pose[0] - state.last_map_pose[0], pose[1] - state.last_map_pose[1]
+    )
+    rotated = jnp.abs(se2.wrap_angle(pose[2] - state.last_map_pose[2]))
+    do_update = in_boot | (moved >= cfg.map_update_min_motion) | (
+        rotated >= cfg.map_update_min_rot
+    )
+    logodds = raycast_update(
+        state.logodds, pose, ranges, cfg.grid, cfg.sensor,
+        enable=do_update.astype(jnp.float32),
+    )
+    last_map_pose = jnp.where(do_update, pose, state.last_map_pose)
+    dist = state.dist + jnp.hypot(delta[0], delta[1])
+    return FrontendState(logodds, pose, odom, dist, last_map_pose), (pose, score)
+
+
+def make_chunk_fn(cfg: FrontendConfig):
+    """Jitted (state, odom_chunk [K,3], ranges_chunk [K,B]) -> (state, traj, scores)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk_fn(state, odom_chunk, ranges_chunk):
+        def body(s, inp):
+            o, r = inp
+            s2, out = frontend_step(s, o, r, cfg)
+            return s2, out
+
+        state, (traj, scores) = jax.lax.scan(body, state, (odom_chunk, ranges_chunk))
+        return state, traj, scores
+
+    return chunk_fn
+
+
+def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = None):
+    """Run the full frontend over a host-side log dict {odom, ranges}.
+
+    Pads the tail chunk by repeating the last record (repeated identical
+    odometry is a no-op motion, and re-integrating the same scan at the same
+    pose is harmless), then truncates the outputs.
+
+    Returns (final_state, traj [T, 3] np.ndarray, scores [T] np.ndarray).
+    """
+    odom = np.asarray(log["odom"], np.float32)
+    ranges = np.asarray(log["ranges"], np.float32)
+    T = len(odom)
+    K = cfg.chunk
+
+    if state is None:
+        state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
+    chunk_fn = make_chunk_fn(cfg)
+
+    trajs, scores = [], []
+    for s in range(0, T, K):
+        o = odom[s : s + K]
+        r = ranges[s : s + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+        trajs.append(np.asarray(tr))
+        scores.append(np.asarray(sc))
+
+    traj = np.concatenate(trajs)[:T]
+    score = np.concatenate(scores)[:T]
+    return state, traj, score
