@@ -76,8 +76,9 @@ class MatcherConfig:
     search_theta: float = 0.20
     n_theta: int = 17                 # odd: includes delta-theta = 0
     coarse_factor: int = 4            # coarse grid pooling factor
-    sigma_cells: float = 1.0          # Gaussian blur sigma for the search space
-    blur_halfwidth: int = 4           # blur kernel half width in cells
+    # Gaussian blur sigma for the search space, in METERS (converted to cells
+    # at the grid's resolution, so behavior is resolution-independent).
+    sigma_m: float = 0.10
     occ_threshold: float = 0.5        # p(cell) above this counts as occupied
     occ_evidence_sat: float = 2.0     # log-odds at which a cell counts as a full wall
     free_threshold: float = 0.45      # p(cell) below this counts as known-free
@@ -104,6 +105,9 @@ class PFConfig:
     noise_xy: float = 0.04
     noise_theta: float = 0.02
     resample_threshold: float = 0.5   # resample when N_eff < threshold * N
+    # Log-weight increment = sharpness * match score (score in [-pen, 1]);
+    # controls how aggressively weights concentrate on good particles.
+    weight_sharpness: float = 30.0
     # Per-particle refinement matcher window (smaller than frontend's).
     refine_xy: float = 0.30
     refine_theta: float = 0.10
@@ -145,3 +149,10 @@ class FrontendConfig:
     # (reduces same-viewpoint map poisoning; Cartographer-style).
     map_update_min_motion: float = 0.30
     map_update_min_rot: float = 0.25
+    # Match gate: only run the correlative matcher after this much motion /
+    # rotation since the last accepted match; between matches the pose is
+    # dead-reckoned from odometry. High-rate logs otherwise give the
+    # per-match backward drag (see bootstrap_dist) more opportunities per
+    # meter of travel, and matching a barely-moved scan adds no information.
+    match_min_motion: float = 0.15
+    match_min_rot: float = 0.10

@@ -37,7 +37,7 @@ def _gaussian_kernel_1d(sigma: float, halfwidth: int) -> np.ndarray:
     return (k / k.max()).astype(np.float32)  # peak-normalized: S in [0, 1]
 
 
-def build_search_space(logodds, mcfg: MatcherConfig):
+def build_search_space(logodds, mcfg: MatcherConfig, resolution: float):
     """Blurred occupied-cell likelihood field, same shape as the grid.
 
     Beyond the reference's Gaussian smear of occupied cells, known-FREE cells
@@ -56,7 +56,9 @@ def build_search_space(logodds, mcfg: MatcherConfig):
     # counts less than an established wall. This dilutes the newest scan's
     # contribution relative to accumulated structure.
     occ = jnp.clip(logodds / mcfg.occ_evidence_sat, 0.0, 1.0)
-    k = jnp.asarray(_gaussian_kernel_1d(mcfg.sigma_cells, mcfg.blur_halfwidth))
+    sigma_cells = mcfg.sigma_m / resolution
+    halfwidth = max(4, int(math.ceil(3.0 * sigma_cells)))
+    k = jnp.asarray(_gaussian_kernel_1d(sigma_cells, halfwidth))
     img = occ[None, None, :, :]
     kr = k.reshape(1, 1, -1, 1)
     kc = k.reshape(1, 1, 1, -1)
@@ -173,7 +175,11 @@ def match_scan(
     mcfg.min_score the prior pose is returned, which covers the empty-map
     first scans.
     """
-    S = build_search_space(logodds, mcfg) if search_space is None else search_space
+    S = (
+        build_search_space(logodds, mcfg, gcfg.resolution)
+        if search_space is None
+        else search_space
+    )
     f = mcfg.coarse_factor
     Sc = coarse_space(S, f)
 

@@ -1,0 +1,143 @@
+"""FastSLAM particle filter, TPU-first (SURVEY.md §4.3, L3).
+
+The reference keeps a Python list of Particle objects, each owning its own
+map and matcher, looping over them per scan. Here particle state is a struct
+of stacked arrays — poses [P, 3], log-weights [P], maps [P, H, W] — and the
+whole per-particle pipeline (propose → refine-match → weight → map update)
+is one `vmap` over the particle axis, so XLA batches every kernel across
+particles. Log-space weights avoid the underflow the reference risks with
+multiplicative weighting.
+
+Resampling is low-variance (systematic): a single uniform draw, ancestors
+selected against the weight CDF (SURVEY.md §4.3 step 5), realized as a
+gather on the stacked state — including the [P, H, W] map tensor — gated by
+the N_eff trigger.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam2d_tpu.config import FrontendConfig, PFConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.match.correlative import match_scan
+
+
+class PFState(NamedTuple):
+    logodds: jax.Array        # [P, H, W] per-particle maps
+    poses: jax.Array          # [P, 3]
+    log_w: jax.Array          # [P] log weights (normalized-ish)
+    prev_odom: jax.Array      # [3]
+    rng: jax.Array            # PRNG key
+    dist: jax.Array           # scalar: cumulative odometry travel
+    since_update: jax.Array   # scalar: travel since last map integration
+
+
+def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
+    pose = (
+        jnp.zeros(3, jnp.float32)
+        if start_pose is None
+        else jnp.asarray(start_pose, jnp.float32)
+    )
+    P = pf.n_particles
+    return PFState(
+        logodds=jnp.zeros((P, cfg.grid.height, cfg.grid.width), jnp.float32),
+        poses=jnp.tile(pose[None, :], (P, 1)),
+        log_w=jnp.zeros(P, jnp.float32),
+        prev_odom=pose + 0.0,
+        rng=rng,
+        dist=jnp.float32(0.0),
+        since_update=jnp.float32(jnp.inf),  # force first-scan integration
+    )
+
+
+def effective_sample_size(log_w):
+    w = jax.nn.softmax(log_w)
+    return 1.0 / jnp.sum(w * w)
+
+
+def systematic_ancestors(log_w, u):
+    """Low-variance (systematic) resampling ancestor indices.
+
+    One uniform u ~ U[0,1); ancestor k chosen where (u + k)/P falls in the
+    normalized-weight CDF. Returns int32 [P].
+    """
+    P = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    pts = (u + jnp.arange(P, dtype=jnp.float32)) / P
+    return jnp.clip(
+        jnp.searchsorted(cdf, pts, side="left"), 0, P - 1
+    ).astype(jnp.int32)
+
+
+def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfig):
+    """One scan for all particles. Returns (state, (best_pose, n_eff, best_score)).
+
+    FastSLAM-2.0-flavored proposal: each particle refines its odometry+noise
+    proposal with a correlative match against its OWN map (SURVEY.md §4.3
+    step 2); the match score doubles as the likelihood-field weight update.
+    """
+    P = pf.n_particles
+    rng, k_noise, k_resample = jax.random.split(state.rng, 3)
+
+    delta = se2.between(state.prev_odom, odom)
+    step_len = jnp.hypot(delta[0], delta[1])
+
+    # --- propose: per-particle noisy odometry delta ------------------------
+    noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
+        [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+    )
+    priors = se2.compose(state.poses, delta[None, :] + noise)
+
+    # --- refine + weight: per-particle match against own map ---------------
+    def refine_one(grid, prior):
+        return match_scan(grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor)
+
+    matched, scores = jax.vmap(refine_one)(state.logodds, priors)
+
+    in_boot = state.dist < cfg.bootstrap_dist
+    poses = jnp.where(in_boot, priors, matched)
+
+    # Likelihood-field weight in log space. Scores are in [-pen, 1]; softmax
+    # over particles later makes the additive offset irrelevant.
+    log_w = state.log_w + jnp.where(
+        in_boot, 0.0, pf.weight_sharpness * scores
+    )
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+
+    # --- map update (motion-filtered, like the frontend) --------------------
+    since = state.since_update + step_len
+    do_update = in_boot | (since >= cfg.map_update_min_motion)
+    upd = jax.vmap(
+        lambda g, p: raycast_update(
+            g, p, ranges, cfg.grid, cfg.sensor,
+            enable=do_update.astype(jnp.float32),
+        )
+    )
+    logodds = upd(state.logodds, poses)
+    since = jnp.where(do_update, 0.0, since)
+
+    # --- resample on N_eff trigger -----------------------------------------
+    n_eff = effective_sample_size(log_w)
+    do_resample = n_eff < pf.resample_threshold * P
+    u = jax.random.uniform(k_resample)
+    ancestors = systematic_ancestors(log_w, u)
+    idx = jnp.where(do_resample, ancestors, jnp.arange(P, dtype=jnp.int32))
+    logodds = logodds[idx]
+    poses = poses[idx]
+    log_w = jnp.where(
+        do_resample, jnp.full((P,), -jnp.log(P), log_w.dtype), log_w
+    )
+
+    best = jnp.argmax(log_w)
+    best_pose = poses[best]
+    best_score = scores[best]
+    dist = state.dist + step_len
+
+    new_state = PFState(logodds, poses, log_w, odom, rng, dist, since)
+    return new_state, (best_pose, n_eff, best_score)

@@ -1,0 +1,213 @@
+"""Device-sharded FastSLAM (SURVEY.md §4.3 distributed form, config 4).
+
+Particles are split across devices with `shard_map` over a ("particles",)
+mesh axis. Per-scan collectives:
+
+- weight normalization / N_eff: `psum` over ICI (a max-subtracted logsumexp).
+- systematic resampling: `all_gather` of the (tiny) per-particle log-weights
+  gives every shard the global CDF; each shard computes the same global
+  ancestor indices from a shared uniform draw.
+- cross-shard particle-map migration: a ring exchange over `ppermute`. Each
+  shard's [Pl, H*W] map block circulates the ring; at every hop each shard
+  accumulates `onehot(ancestor_i == passing_global_j) @ passing_block` (an
+  MXU matmul). After n_shards hops every output slot holds its ancestor's
+  map. Peak memory stays at ONE local block (no [P, H, W] all_gather), the
+  per-hop matmul rides the MXU, and the ppermute traffic rides ICI neighbor
+  links — the canonical TPU ring-collective shape. The ring runs every step
+  (identity pattern when the N_eff trigger did not fire); gating it behind
+  the trigger via host-chunked control is a planned optimization.
+
+RNG: every shard holds the same key; per-particle proposal noise comes from
+folding the shard index in, the resampling uniform uses the shared key so
+all shards agree on the global ancestors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slam2d_tpu.config import FrontendConfig, PFConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.grid.occupancy import raycast_update
+from slam2d_tpu.match.correlative import match_scan
+from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
+from slam2d_tpu.pf.fastslam import PFState, fastslam_init, systematic_ancestors
+
+
+def sharded_state_sharding(mesh: Mesh, axis: str = PARTICLE_AXIS):
+    """NamedShardings for a PFState: particle-major arrays sharded, rest replicated."""
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return PFState(
+        logodds=s(axis, None, None),
+        poses=s(axis, None),
+        log_w=s(axis),
+        prev_odom=s(None),
+        rng=s(None),
+        dist=s(),
+        since_update=s(),
+    )
+
+
+def place_state(state: PFState, mesh: Mesh, axis: str = PARTICLE_AXIS) -> PFState:
+    sh = sharded_state_sharding(mesh, axis)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def sharded_fastslam_init(
+    cfg: FrontendConfig, pf: PFConfig, rng, mesh: Mesh, start_pose=None
+):
+    state = fastslam_init(cfg, pf, rng, start_pose=start_pose)
+    return place_state(state, mesh)
+
+
+def _global_log_normalize(log_w, axis):
+    """Normalize log-weights across all shards; returns (log_w, n_eff)."""
+    m = jax.lax.pmax(jnp.max(log_w), axis)
+    z = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), axis)
+    log_w = log_w - m - jnp.log(z)
+    n_eff = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * log_w)), axis)
+    return log_w, n_eff
+
+
+def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
+                      axis: str = PARTICLE_AXIS):
+    """Build the shard_map'ped per-scan step function."""
+    n_shards = mesh.shape[axis]
+    P_total = pf.n_particles
+    assert P_total % n_shards == 0, (
+        f"n_particles={P_total} must divide over {n_shards} shards"
+    )
+    Pl = P_total // n_shards
+
+    def step(state: PFState, odom, ranges):
+        """Runs per-shard: particle-major inputs are the local [Pl, ...] block."""
+        shard = jax.lax.axis_index(axis)
+        rng, k_step = jax.random.split(state.rng)
+        k_local = jax.random.fold_in(k_step, shard)
+
+        delta = se2.between(state.prev_odom, odom)
+        step_len = jnp.hypot(delta[0], delta[1])
+
+        noise = jax.random.normal(k_local, (Pl, 3)) * jnp.asarray(
+            [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+        )
+        priors = se2.compose(state.poses, delta[None, :] + noise)
+
+        matched, scores = jax.vmap(
+            lambda g, p: match_scan(g, ranges, p, cfg.grid, cfg.matcher, cfg.sensor)
+        )(state.logodds, priors)
+
+        in_boot = state.dist < cfg.bootstrap_dist
+        poses = jnp.where(in_boot, priors, matched)
+
+        log_w = state.log_w + jnp.where(in_boot, 0.0, pf.weight_sharpness * scores)
+        log_w, n_eff = _global_log_normalize(log_w, axis)
+
+        since = state.since_update + step_len
+        do_update = in_boot | (since >= cfg.map_update_min_motion)
+        logodds = jax.vmap(
+            lambda g, p: raycast_update(
+                g, p, ranges, cfg.grid, cfg.sensor,
+                enable=do_update.astype(jnp.float32),
+            )
+        )(state.logodds, poses)
+        since = jnp.where(do_update, 0.0, since)
+
+        # ---- global systematic resampling ---------------------------------
+        do_resample = n_eff < pf.resample_threshold * P_total
+        u = jax.random.uniform(jax.random.fold_in(k_step, 10_000_019))
+        log_w_all = jax.lax.all_gather(log_w, axis, tiled=True)
+        ancestors = systematic_ancestors(log_w_all, u)          # [P] global
+        local_slots = shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
+        want = ancestors[local_slots]                            # [Pl] global idx
+        ident = local_slots
+        idx = jnp.where(do_resample, want, ident)                # [Pl] global
+
+        # poses are tiny: all_gather then index
+        poses_all = jax.lax.all_gather(poses, axis, tiled=True)  # [P, 3]
+        poses_new = poses_all[idx]
+
+        # maps are big: ring exchange. After k hops this shard holds the
+        # block that started on shard (me - k) mod n; pick matching rows.
+        H, W = cfg.grid.height, cfg.grid.width
+        maps_flat = logodds.reshape(Pl, H * W)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def ring_body(k, carry):
+            blk, out = carry
+            src_shard = jnp.mod(shard - k, n_shards)
+            gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
+            mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
+            out = out + jnp.dot(
+                mask, blk, preferred_element_type=jnp.float32
+            )
+            blk = jax.lax.ppermute(blk, axis, perm)
+            return blk, out
+
+        _, maps_new = jax.lax.fori_loop(
+            0, n_shards, ring_body,
+            (maps_flat, jnp.zeros_like(maps_flat)),
+        )
+        maps_new = maps_new.reshape(Pl, H, W)
+
+        log_w_new = jnp.where(
+            do_resample,
+            jnp.full((Pl,), -jnp.log(P_total), log_w.dtype),
+            log_w,
+        )
+
+        # best particle (global argmax) for trajectory reporting
+        best_local = jnp.argmax(log_w)
+        cand_w = jax.lax.all_gather(log_w[best_local], axis)
+        cand_pose = jax.lax.all_gather(poses[best_local], axis)
+        cand_score = jax.lax.all_gather(scores[best_local], axis)
+        b = jnp.argmax(cand_w)
+        best_pose = cand_pose[b]
+        best_score = cand_score[b]
+
+        dist = state.dist + step_len
+        new_state = PFState(
+            maps_new, poses_new, log_w_new, odom, rng, dist, since
+        )
+        return new_state, (best_pose, n_eff, best_score)
+
+    state_specs = PFState(
+        logodds=P(axis, None, None),
+        poses=P(axis, None),
+        log_w=P(axis),
+        prev_odom=P(None),
+        rng=P(None),
+        dist=P(),
+        since_update=P(),
+    )
+    out_specs = (state_specs, (P(None), P(), P()))
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(state_specs, P(None), P(None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return sharded
+
+
+def make_sharded_chunk_fn(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
+                          axis: str = PARTICLE_AXIS):
+    """Jitted lax.scan over the sharded step for a [K, ...] chunk of scans."""
+    step = make_sharded_step(cfg, pf, mesh, axis)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk_fn(state: PFState, odom_chunk, ranges_chunk):
+        def body(s, inp):
+            o, r = inp
+            return step(s, o, r)
+
+        return jax.lax.scan(body, state, (odom_chunk, ranges_chunk))
+
+    return chunk_fn

@@ -28,6 +28,7 @@ class FrontendState(NamedTuple):
     prev_odom: jax.Array     # [3] odometry pose at the previous scan
     dist: jax.Array          # scalar: cumulative distance traveled
     last_map_pose: jax.Array # [3] pose at the last map integration
+    since_match: jax.Array   # [2] (translation, rotation) since last match
 
 
 def frontend_init(cfg: FrontendConfig, start_pose=None, start_odom=None):
@@ -36,24 +37,34 @@ def frontend_init(cfg: FrontendConfig, start_pose=None, start_odom=None):
     # distinct buffers everywhere — the chunk runner donates the state, and
     # aliased leaves would be donated twice
     return FrontendState(
-        make_grid(cfg.grid), pose, odom + 0.0, jnp.float32(0.0), pose + 0.0
+        make_grid(cfg.grid), pose, odom + 0.0, jnp.float32(0.0), pose + 0.0,
+        jnp.zeros(2, jnp.float32),
     )
 
 
 def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
-    """One scan: odometry prior -> correlative match -> gated map update.
+    """One scan: odometry prior -> gated correlative match -> gated map update.
 
     Bootstrap (first `bootstrap_dist` meters) trusts the odometry prior and
-    integrates every scan; afterwards the matched pose wins and the map only
-    integrates on sufficient motion (see FrontendConfig for why).
+    integrates every scan. Afterwards the matcher runs only after enough
+    motion since the last match (dead-reckoning in between) and the map only
+    integrates on sufficient motion (see FrontendConfig for why both gates).
     """
     delta = se2.between(state.prev_odom, odom)
+    step_len = jnp.hypot(delta[0], delta[1])
     prior = se2.compose(state.pose, delta)
     matched, score = match_scan(
         state.logodds, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor
     )
     in_boot = state.dist < cfg.bootstrap_dist
-    pose = jnp.where(in_boot, prior, matched)
+    since_m = state.since_match + jnp.stack(
+        [step_len, jnp.abs(se2.wrap_angle(delta[2]))]
+    )
+    do_match = (~in_boot) & (
+        (since_m[0] >= cfg.match_min_motion) | (since_m[1] >= cfg.match_min_rot)
+    )
+    pose = jnp.where(do_match, matched, prior)
+    since_m = jnp.where(do_match, jnp.zeros_like(since_m), since_m)
 
     moved = jnp.hypot(
         pose[0] - state.last_map_pose[0], pose[1] - state.last_map_pose[1]
@@ -67,8 +78,11 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
         enable=do_update.astype(jnp.float32),
     )
     last_map_pose = jnp.where(do_update, pose, state.last_map_pose)
-    dist = state.dist + jnp.hypot(delta[0], delta[1])
-    return FrontendState(logodds, pose, odom, dist, last_map_pose), (pose, score)
+    dist = state.dist + step_len
+    return (
+        FrontendState(logodds, pose, odom, dist, last_map_pose, since_m),
+        (pose, score),
+    )
 
 
 def make_chunk_fn(cfg: FrontendConfig):

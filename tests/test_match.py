@@ -34,7 +34,7 @@ def test_search_space_range_and_peak():
     world = SynthWorld.box_rooms(20.0)
     # integrate the same viewpoint several times so walls reach full evidence
     grid = _map_from_scans(world, [[10.0, 10.0, 0.0]] * 4)
-    S = build_search_space(grid, MCFG)
+    S = build_search_space(grid, MCFG, GCFG.resolution)
     s = np.asarray(S)
     assert s.min() >= -MCFG.free_penalty - 1e-6
     assert s.max() <= 1.0 + 1e-6
@@ -45,7 +45,7 @@ def test_search_space_range_and_peak():
 def test_coarse_space_is_upper_bound():
     world = SynthWorld.box_rooms(20.0)
     grid = _map_from_scans(world, [[10.0, 10.0, 0.0]])
-    S = np.asarray(build_search_space(grid, MCFG))
+    S = np.asarray(build_search_space(grid, MCFG, GCFG.resolution))
     Sc = np.asarray(coarse_space(jnp.asarray(S), 4))
     f = 4
     for i in range(0, S.shape[0], 64):

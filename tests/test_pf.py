@@ -1,0 +1,111 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam2d_tpu.config import (
+    FrontendConfig,
+    GridConfig,
+    MatcherConfig,
+    PFConfig,
+    SensorConfig,
+)
+from slam2d_tpu.data.synth import SynthWorld, simulate_log
+from slam2d_tpu.metrics import ate_rmse
+from slam2d_tpu.pf.fastslam import (
+    effective_sample_size,
+    fastslam_init,
+    systematic_ancestors,
+)
+from slam2d_tpu.run.fastslam_run import run_fastslam
+
+
+def test_systematic_ancestors_uniform_weights():
+    log_w = jnp.zeros(8)
+    anc = np.asarray(systematic_ancestors(log_w, jnp.float32(0.5)))
+    np.testing.assert_array_equal(anc, np.arange(8))
+
+
+def test_systematic_ancestors_concentrated():
+    log_w = jnp.asarray([-100.0, 0.0, -100.0, -100.0])
+    anc = np.asarray(systematic_ancestors(log_w, jnp.float32(0.25)))
+    np.testing.assert_array_equal(anc, [1, 1, 1, 1])
+
+
+def test_systematic_ancestors_proportional():
+    # weights 1/2, 1/4, 1/8, 1/8 over P=4 draws -> counts 2, 1, 0-1, 0-1;
+    # systematic resampling guarantees count in {floor(P*w), ceil(P*w)}
+    w = np.array([0.5, 0.25, 0.125, 0.125])
+    anc = np.asarray(systematic_ancestors(jnp.asarray(np.log(w)), jnp.float32(0.3)))
+    counts = np.bincount(anc, minlength=4)
+    assert counts.sum() == 4
+    for k in range(4):
+        lo, hi = np.floor(4 * w[k]), np.ceil(4 * w[k])
+        assert lo <= counts[k] <= hi
+
+
+def test_effective_sample_size():
+    assert abs(float(effective_sample_size(jnp.zeros(16))) - 16.0) < 1e-4
+    conc = jnp.asarray([0.0] + [-100.0] * 15)
+    assert float(effective_sample_size(conc)) < 1.01
+
+
+def _pf_cfg():
+    return (
+        FrontendConfig(
+            sensor=SensorConfig(n_beams=90, max_range=12.0),
+            grid=GridConfig(
+                height=192, width=192, resolution=0.1, ray_samples=96,
+                center_x=6.0, center_y=6.0,
+            ),
+            matcher=MatcherConfig(search_xy=0.25, search_theta=0.12, n_theta=9),
+            chunk=8,
+            bootstrap_dist=1.5,
+        ),
+        PFConfig(n_particles=8, noise_xy=0.02, noise_theta=0.01),
+    )
+
+
+def test_fastslam_runs_and_tracks():
+    cfg, pf = _pf_cfg()
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.2,
+        odom_noise_xy=0.012, odom_noise_theta=0.006, seed=11,
+    )
+    state, traj, n_eff, scores = run_fastslam(log, cfg, pf, seed=0)
+
+    assert traj.shape == log["gt_poses"].shape
+    assert np.isfinite(traj).all()
+    # weights stay normalized-ish and N_eff within [1, P]
+    assert np.all(n_eff >= 1.0 - 1e-3) and np.all(n_eff <= pf.n_particles + 1e-3)
+    ate_pf = ate_rmse(traj, log["gt_poses"], align=False)
+    ate_odom = ate_rmse(log["odom"], log["gt_poses"], align=False)
+    # particle filter with per-particle matching should not be (much) worse
+    # than raw odometry on a short log, and must stay in the same ballpark
+    assert ate_pf < max(2.0 * ate_odom, 0.35)
+
+
+def test_fastslam_resamples_on_degenerate_weights():
+    cfg, pf = _pf_cfg()
+    rng = jax.random.PRNGKey(0)
+    state = fastslam_init(cfg, pf, rng, start_pose=jnp.zeros(3))
+    # force concentrated weights and check a resample actually copies state
+    bad_w = jnp.asarray([0.0] + [-50.0] * (pf.n_particles - 1))
+    poses = jnp.arange(pf.n_particles * 3, dtype=jnp.float32).reshape(-1, 3)
+    state = state._replace(log_w=bad_w, poses=poses)
+    from slam2d_tpu.pf.fastslam import fastslam_step
+
+    world = SynthWorld.box_rooms(12.0)
+    r = world.raycast(np.zeros(3), np.asarray(cfg.sensor.beam_angles()), cfg.sensor.max_range)
+    state2, _ = fastslam_step(
+        state, jnp.zeros(3), jnp.asarray(r, jnp.float32), cfg, pf
+    )
+    # all particles should now descend from ancestor 0 (poses nearly equal)
+    spread = np.asarray(state2.poses).std(axis=0).max()
+    assert spread < 0.1
+    np.testing.assert_allclose(
+        np.asarray(state2.log_w), -np.log(pf.n_particles), atol=1e-4
+    )
