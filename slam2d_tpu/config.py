@@ -126,6 +126,15 @@ class GraphConfig:
     loop_radius: float = 3.0          # spatial gate for loop candidates
     loop_min_gap: int = 20            # min keyframe index gap for a loop
     loop_score_accept: float = 0.55   # matcher score to accept a loop edge
+    # Plausibility gate: reject a loop whose implied correction of the
+    # current estimate exceeds these bounds (guards against corridor-aliased
+    # matches that score well but are shifted by multiples of the structure
+    # period; scale up for long-drift datasets).
+    loop_max_correction_xy: float = 1.5
+    loop_max_correction_theta: float = 0.6
+    # Skip loop attempts for this many keyframes after an accepted loop
+    # (consecutive keyframes re-close the same loop with little new info).
+    loop_cooldown: int = 3
     damping: float = 1e-6             # Levenberg damping on H diagonal
 
 

@@ -1,0 +1,208 @@
+"""SE(2) pose-graph backend: Gauss-Newton with loop closure (SURVEY.md §4.4).
+
+The reference (per BASELINE) optimizes e_ij = t2v(Z_ij^-1 (Xi^-1 Xj)) with
+Gauss-Newton over a Python edge list. TPU-first formulation:
+
+- static capacity: node/edge arrays are fixed-size ([Kmax, 3], [Emax, ...])
+  with validity masks, so the whole optimizer jits once regardless of how
+  many keyframes exist yet;
+- per-edge 3x3 Jacobians come from `jax.jacfwd` of the residual (exact,
+  vmapped over the edge axis — no hand-derived formulas to get wrong);
+- H and b assemble with one scatter-add of [E, 3, 3] blocks into the dense
+  [3K, 3K] normal matrix (K <= a few hundred keyframes: dense Cholesky on
+  the MXU beats sparse bookkeeping);
+- node 0 anchors via a large prior block; Levenberg damping on the diagonal;
+- `gn_iters` fixed iterations inside a `lax.fori_loop` (static trip count).
+
+Distributed form: `optimize_sharded` shards the EDGE set over the mesh,
+psums the assembled (H, b) — reduction over ICI — and solves the (small)
+dense system replicated. Keyframe-block Schur elimination (SURVEY.md §4.4
+distributed form) is the planned refinement once node counts warrant it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam2d_tpu.config import GraphConfig
+from slam2d_tpu.core import se2
+
+
+class PoseGraph(NamedTuple):
+    poses: jax.Array        # [K, 3] current node estimates
+    node_mask: jax.Array    # [K] bool: node slot in use
+    n_nodes: jax.Array      # scalar int32
+    edges_ij: jax.Array     # [E, 2] int32 (i, j) node indices
+    edges_z: jax.Array      # [E, 3] measured relative pose i -> j
+    edges_omega: jax.Array  # [E, 3, 3] information matrices
+    edge_mask: jax.Array    # [E] bool
+    n_edges: jax.Array      # scalar int32
+
+
+def graph_init(cfg: GraphConfig) -> PoseGraph:
+    K, E = cfg.max_nodes, cfg.max_edges
+    return PoseGraph(
+        poses=jnp.zeros((K, 3), jnp.float32),
+        node_mask=jnp.zeros(K, bool),
+        n_nodes=jnp.int32(0),
+        edges_ij=jnp.zeros((E, 2), jnp.int32),
+        edges_z=jnp.zeros((E, 3), jnp.float32),
+        edges_omega=jnp.zeros((E, 3, 3), jnp.float32),
+        edge_mask=jnp.zeros(E, bool),
+        n_edges=jnp.int32(0),
+    )
+
+
+def add_node(g: PoseGraph, pose) -> PoseGraph:
+    k = g.n_nodes
+    return g._replace(
+        poses=g.poses.at[k].set(pose),
+        node_mask=g.node_mask.at[k].set(True),
+        n_nodes=k + 1,
+    )
+
+
+def add_edge(g: PoseGraph, i, j, z, omega) -> PoseGraph:
+    e = g.n_edges
+    return g._replace(
+        edges_ij=g.edges_ij.at[e].set(jnp.stack([i, j]).astype(jnp.int32)),
+        edges_z=g.edges_z.at[e].set(z),
+        edges_omega=g.edges_omega.at[e].set(omega),
+        edge_mask=g.edge_mask.at[e].set(True),
+        n_edges=e + 1,
+    )
+
+
+def edge_residuals(poses, edges_ij, edges_z):
+    """Vmapped e_ij = t2v(Z^-1 (Xi^-1 Xj)); returns [E, 3]."""
+    xi = poses[edges_ij[:, 0]]
+    xj = poses[edges_ij[:, 1]]
+    return jax.vmap(se2.error_se2)(xi, xj, edges_z)
+
+
+def _edge_blocks(poses, edges_ij, edges_z, edges_omega, edge_mask):
+    """Per-edge H/b blocks. Returns (Hii, Hij, Hjj, bi, bj, err) stacked [E, ...]."""
+
+    def one(idx_i, idx_j, z, omega, m):
+        xi = poses[idx_i]
+        xj = poses[idx_j]
+        e = se2.error_se2(xi, xj, z)
+        Ai = jax.jacfwd(lambda a: se2.error_se2(a, xj, z))(xi)   # [3, 3]
+        Bj = jax.jacfwd(lambda b: se2.error_se2(xi, b, z))(xj)   # [3, 3]
+        w = m.astype(jnp.float32)
+        AtO = Ai.T @ omega * w
+        BtO = Bj.T @ omega * w
+        return AtO @ Ai, AtO @ Bj, BtO @ Bj, AtO @ e, BtO @ e, w * (e @ omega @ e)
+
+    return jax.vmap(one)(
+        edges_ij[:, 0], edges_ij[:, 1], edges_z, edges_omega, edge_mask
+    )
+
+
+def assemble_normal_eq(poses, edges_ij, edges_z, edges_omega, edge_mask, K: int):
+    """Dense H [3K, 3K], b [3K], chi2 scalar via one scatter-add of blocks."""
+    Hii, Hij, Hjj, bi, bj, chi = _edge_blocks(
+        poses, edges_ij, edges_z, edges_omega, edge_mask
+    )
+    H = jnp.zeros((3 * K, 3 * K), jnp.float32)
+    b = jnp.zeros((3 * K,), jnp.float32)
+
+    off = jnp.arange(3)
+    ri = (3 * edges_ij[:, 0])[:, None] + off[None, :]     # [E, 3]
+    rj = (3 * edges_ij[:, 1])[:, None] + off[None, :]
+
+    def rc(r, c):
+        return r[:, :, None], c[:, None, :]
+
+    H = H.at[rc(ri, ri)].add(Hii)
+    H = H.at[rc(ri, rj)].add(Hij)
+    H = H.at[rc(rj, ri)].add(jnp.swapaxes(Hij, 1, 2))
+    H = H.at[rc(rj, rj)].add(Hjj)
+    b = b.at[ri].add(bi)
+    b = b.at[rj].add(bj)
+    return H, b, jnp.sum(chi)
+
+
+def _gn_iterate(poses, H, b, node_mask, cfg: GraphConfig, K: int):
+    """One damped GN solve + masked update."""
+    anchor = jnp.zeros((3 * K,), jnp.float32).at[:3].set(1e8)
+    # inactive node slots get identity diagonal so H stays invertible
+    inactive = jnp.repeat(~node_mask, 3).astype(jnp.float32)
+    diag = anchor + cfg.damping + inactive
+    Hd = H + jnp.diag(diag)
+    delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), -b)
+    delta = delta.reshape(K, 3) * node_mask[:, None]
+    new = poses + delta
+    return new.at[:, 2].set(se2.wrap_angle(new[:, 2]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(g: PoseGraph, cfg: GraphConfig):
+    """Run cfg.gn_iters Gauss-Newton iterations; returns (graph, chi2)."""
+    K = g.poses.shape[0]
+
+    def body(_, carry):
+        poses, _ = carry
+        H, b, chi = assemble_normal_eq(
+            poses, g.edges_ij, g.edges_z, g.edges_omega, g.edge_mask, K
+        )
+        poses = _gn_iterate(poses, H, b, g.node_mask, cfg, K)
+        return poses, chi
+
+    poses, chi = jax.lax.fori_loop(
+        0, cfg.gn_iters, body, (g.poses, jnp.float32(0.0))
+    )
+    return g._replace(poses=poses), chi
+
+
+def make_optimize_sharded(cfg: GraphConfig, mesh, axis: str = "particles"):
+    """Edge-sharded distributed GN: each shard assembles (H, b) from its
+    edge block, `psum` reduces over the mesh, the small dense solve runs
+    replicated (SURVEY.md §4.4 distributed form, first stage)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+
+    def step(poses, node_mask, edges_ij, edges_z, edges_omega, edge_mask):
+        K = poses.shape[0]
+
+        def body(_, carry):
+            p, _ = carry
+            H, b, chi = assemble_normal_eq(
+                p, edges_ij, edges_z, edges_omega, edge_mask, K
+            )
+            H = jax.lax.psum(H, axis)
+            b = jax.lax.psum(b, axis)
+            chi = jax.lax.psum(chi, axis)
+            p = _gn_iterate(p, H, b, node_mask, cfg, K)
+            return p, chi
+
+        return jax.lax.fori_loop(
+            0, cfg.gn_iters, body, (poses, jnp.float32(0.0))
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(g: PoseGraph):
+        E = g.edges_ij.shape[0]
+        pad = (-E) % n_shards
+        if pad:
+            raise ValueError(f"max_edges={E} must divide {n_shards} shards")
+        poses, chi = sharded(
+            g.poses, g.node_mask, g.edges_ij, g.edges_z, g.edges_omega,
+            g.edge_mask,
+        )
+        return g._replace(poses=poses), chi
+
+    return run

@@ -1,0 +1,266 @@
+"""Full SLAM: frontend + keyframes + loop closure + pose-graph backend
+(SURVEY.md §5.3, config 5).
+
+Host owns only control flow (keyframe admission, loop gating, when to
+optimize); every dense computation is a jitted device call:
+
+- frontend tracking: chunked `lax.scan` (run/frontend.py),
+- loop candidate scoring: wide-window correlative match of the current
+  keyframe scan against a submap rebuilt on device from the old keyframe's
+  neighborhood,
+- graph optimization: dense GN (graph/se2_graph.py),
+- map rebuild after a correction: one `lax.scan` re-raycasting every
+  keyframe scan at its corrected pose into a fresh grid.
+
+Loop edges: z_ij = (Xi_est)^-1 ⊞ matched_Xj — the matched absolute pose of
+keyframe j in the submap (built in world frame around keyframe i) composed
+against i's estimate, exactly the relative-pose measurement GN expects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.graph import se2_graph
+from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.match.correlative import match_scan
+from slam2d_tpu.run.frontend import FrontendState, frontend_init, make_chunk_fn
+
+
+def make_rebuild_fn(cfg: FrontendConfig, capacity: int):
+    """Jitted: re-raycast up to `capacity` keyframe scans into a fresh grid."""
+
+    @jax.jit
+    def rebuild(poses, scans, mask):
+        grid = make_grid(cfg.grid)
+
+        def body(g, inp):
+            p, r, m = inp
+            return (
+                raycast_update(g, p, r, cfg.grid, cfg.sensor, enable=m),
+                None,
+            )
+
+        grid, _ = jax.lax.scan(
+            body, grid, (poses, scans, mask.astype(jnp.float32))
+        )
+        return grid
+
+    return rebuild
+
+
+def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig):
+    """Jitted wide-window match of a scan against a (sub)map."""
+
+    @jax.jit
+    def loop_match(grid, ranges, prior):
+        return match_scan(grid, ranges, prior, cfg.grid, loop_matcher, cfg.sensor)
+
+    return loop_match
+
+
+class FullSLAMResult(NamedTuple):
+    traj: np.ndarray          # [T, 3] per-scan trajectory (post-corrections)
+    kf_poses: np.ndarray      # [K, 3] final keyframe poses
+    kf_scan_idx: np.ndarray   # [K] scan index of each keyframe
+    n_loops: int
+    grid: jax.Array           # final [H, W] log-odds map
+    chi2: float
+    # accepted loop records: (i, j, score, zx, zy, ztheta) per loop
+    loops: np.ndarray = np.zeros((0, 6), np.float32)
+
+
+def default_loop_matcher(graph_cfg: GraphConfig) -> MatcherConfig:
+    return MatcherConfig(
+        search_xy=graph_cfg.loop_radius / 2.0,
+        search_theta=0.5,
+        n_theta=41,
+        coarse_factor=8,
+        prior_xy_weight=0.0,       # loop search must not be pulled to the prior
+        prior_theta_weight=0.0,
+        min_score=0.0,
+    )
+
+
+def run_full_slam(
+    log: dict,
+    cfg: FrontendConfig,
+    graph_cfg: GraphConfig,
+    loop_matcher: MatcherConfig | None = None,
+    submap_halfwidth: int = 3,
+    odom_edge_info: float = 50.0,
+    loop_edge_info: float = 200.0,
+):
+    """Run config-5 SLAM over a host-side log. Returns FullSLAMResult."""
+    loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
+
+    odom_np = np.asarray(log["odom"], np.float32)
+    ranges_np = np.asarray(log["ranges"], np.float32)
+    T = len(odom_np)
+    K = cfg.chunk
+
+    chunk_fn = make_chunk_fn(cfg)
+    rebuild = make_rebuild_fn(cfg, graph_cfg.max_nodes)
+    loop_match = make_loop_match_fn(cfg, loop_matcher)
+
+    state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
+    graph = se2_graph.graph_init(graph_cfg)
+
+    # host-side keyframe store
+    kf_poses: list[np.ndarray] = []
+    kf_scans: list[np.ndarray] = []
+    kf_scan_idx: list[int] = []
+    loop_records: list[tuple] = []
+    n_loops = 0
+    chi2 = 0.0
+    traj_out = np.zeros((T, 3), np.float32)
+
+    def admit_keyframe(pose, scan_i):
+        nonlocal graph
+        kf_poses.append(pose.copy())
+        kf_scans.append(ranges_np[scan_i])
+        kf_scan_idx.append(scan_i)
+        graph = se2_graph.add_node(graph, jnp.asarray(pose))
+        k = len(kf_poses) - 1
+        if k > 0:
+            z = np.asarray(
+                se2.between(jnp.asarray(kf_poses[k - 1]), jnp.asarray(pose))
+            )
+            graph = se2_graph.add_edge(
+                graph, k - 1, k, jnp.asarray(z),
+                jnp.eye(3) * odom_edge_info,
+            )
+        return k
+
+    def find_loop(k_new: int):
+        """Spatial gate: nearest old keyframe within loop_radius, index gap
+        >= loop_min_gap. Returns candidate index or None."""
+        if k_new < graph_cfg.loop_min_gap:
+            return None
+        p = kf_poses[k_new]
+        old = np.stack(kf_poses[: k_new - graph_cfg.loop_min_gap + 1])
+        d = np.hypot(old[:, 0] - p[0], old[:, 1] - p[1])
+        i = int(np.argmin(d))
+        return i if d[i] <= graph_cfg.loop_radius else None
+
+    def try_close_loop(k_new: int, scan_i: int):
+        nonlocal graph, n_loops, chi2, state
+        i = find_loop(k_new)
+        if i is None:
+            return False
+        # submap from keyframe i's neighborhood, at current estimates
+        lo = max(0, i - submap_halfwidth)
+        hi = min(len(kf_poses), i + submap_halfwidth + 1)
+        Kmax = graph_cfg.max_nodes
+        poses_buf = np.zeros((Kmax, 3), np.float32)
+        scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
+        mask_buf = np.zeros(Kmax, np.float32)
+        nsub = hi - lo
+        poses_buf[:nsub] = np.stack(kf_poses[lo:hi])
+        scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
+        mask_buf[:nsub] = 1.0
+        submap = rebuild(
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf), jnp.asarray(mask_buf)
+        )
+        prior = jnp.asarray(kf_poses[k_new])
+        matched, score = loop_match(
+            submap, jnp.asarray(ranges_np[scan_i]), prior
+        )
+        if float(score) < graph_cfg.loop_score_accept:
+            return False
+        # plausibility gate: correction implied on the current estimate
+        corr = np.asarray(se2.between(prior, matched))
+        if (
+            np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
+            or abs(corr[2]) > graph_cfg.loop_max_correction_theta
+        ):
+            return False
+        z = np.asarray(se2.between(jnp.asarray(kf_poses[i]), matched))
+        graph = se2_graph.add_edge(
+            graph, i, k_new, jnp.asarray(z), jnp.eye(3) * loop_edge_info
+        )
+        loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
+        n_loops += 1
+
+        # optimize + apply corrections
+        graph, chi = se2_graph.optimize(graph, graph_cfg)
+        chi2 = float(chi)
+        corrected = np.asarray(graph.poses[: len(kf_poses)])
+        for k in range(len(kf_poses)):
+            kf_poses[k] = corrected[k]
+        # patch the live frontend: pose rides with the last keyframe
+        last = jnp.asarray(kf_poses[-1])
+        delta = se2.between(prior, state.pose)
+        new_pose = se2.compose(last, delta)
+        # rebuild the global map from all (corrected) keyframes
+        poses_buf = np.zeros((Kmax, 3), np.float32)
+        scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
+        mask_buf2 = np.zeros(Kmax, np.float32)
+        nk = len(kf_poses)
+        poses_buf[:nk] = np.stack(kf_poses)
+        scans_buf2[:nk] = np.stack(kf_scans)
+        mask_buf2[:nk] = 1.0
+        new_grid = rebuild(
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf2), jnp.asarray(mask_buf2)
+        )
+        state = state._replace(
+            logodds=new_grid,
+            pose=new_pose,
+            last_map_pose=new_pose + 0.0,
+        )
+        return True
+
+    # ---- main host loop over chunks ---------------------------------------
+    last_kf_pose = None
+    cooldown = 0
+    for s0 in range(0, T, K):
+        o = odom_np[s0 : s0 + K]
+        r = ranges_np[s0 : s0 + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+        tr = np.asarray(tr)
+        n_here = min(K, T - s0)
+        traj_out[s0 : s0 + n_here] = tr[:n_here]
+
+        # keyframe admission over this chunk
+        for t in range(n_here):
+            scan_i = s0 + t
+            pose = tr[t]
+            if last_kf_pose is None:
+                last_kf_pose = pose
+                admit_keyframe(pose, scan_i)
+                continue
+            moved = np.hypot(*(pose[:2] - last_kf_pose[:2]))
+            rot = abs(
+                (pose[2] - last_kf_pose[2] + np.pi) % (2 * np.pi) - np.pi
+            )
+            if moved >= graph_cfg.keyframe_dist or rot >= graph_cfg.keyframe_angle:
+                if len(kf_poses) >= graph_cfg.max_nodes - 1:
+                    continue
+                last_kf_pose = pose
+                k_new = admit_keyframe(pose, scan_i)
+                if cooldown > 0:
+                    cooldown -= 1
+                elif try_close_loop(k_new, scan_i):
+                    cooldown = graph_cfg.loop_cooldown
+
+    return FullSLAMResult(
+        traj=traj_out,
+        kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
+        kf_scan_idx=np.asarray(kf_scan_idx, np.int64),
+        n_loops=n_loops,
+        grid=state.logodds,
+        chi2=chi2,
+        loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
+    )
