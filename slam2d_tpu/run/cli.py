@@ -1,0 +1,177 @@
+"""Command-line driver (SURVEY.md §2 L5: `slam/run/` CLI + config overrides).
+
+Replaces the reference's hard-coded `main.py` scripts with one entry point:
+
+    python -m slam2d_tpu.run.cli --mode frontend --log intel.json --out out/
+    python -m slam2d_tpu.run.cli --mode fastslam --log synth --particles 64
+    python -m slam2d_tpu.run.cli --mode full --log aces.clf --gt-ate
+
+Log inputs: a CARMEN file (*.log/*.clf), a preprocessed JSON log, or the
+literal `synth` for the built-in synthetic world. Outputs: trajectory .npy,
+map .npy and .png, metrics printed as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="slam2d_tpu", description=__doc__)
+    p.add_argument("--mode", choices=["frontend", "fastslam", "full"],
+                   default="frontend")
+    p.add_argument("--log", required=True,
+                   help="CARMEN .log/.clf, preprocessed .json, or 'synth'")
+    p.add_argument("--out", default=None, help="output directory")
+    # grid overrides
+    p.add_argument("--grid-size", type=int, default=1024)
+    p.add_argument("--resolution", type=float, default=0.05)
+    p.add_argument("--center", type=float, nargs=2, default=None,
+                   metavar=("X", "Y"),
+                   help="world center of the grid (default: odometry centroid)")
+    # sensor overrides
+    p.add_argument("--beams", type=int, default=None)
+    p.add_argument("--max-range", type=float, default=12.0)
+    # matcher overrides
+    p.add_argument("--search-xy", type=float, default=0.3)
+    p.add_argument("--search-theta", type=float, default=0.15)
+    p.add_argument("--n-theta", type=int, default=13)
+    # pf
+    p.add_argument("--particles", type=int, default=32)
+    p.add_argument("--shard", action="store_true",
+                   help="shard particles over all visible devices")
+    # misc
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gt-ate", action="store_true",
+                   help="print ATE vs ground truth (synth logs only)")
+    p.add_argument("--save-viz", action="store_true")
+    return p
+
+
+def load_any_log(path: str, sensor_cfg):
+    from slam2d_tpu.data import load_carmen_log, load_json_log
+    from slam2d_tpu.data.synth import default_log
+
+    if path == "synth":
+        _, log = default_log(sensor_cfg, step=0.05)
+        return log
+    if path.endswith(".json"):
+        return load_json_log(path)
+    return load_carmen_log(path)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from slam2d_tpu.config import (
+        FrontendConfig, GraphConfig, GridConfig, MatcherConfig, PFConfig,
+        SensorConfig,
+    )
+
+    sensor = SensorConfig(
+        n_beams=args.beams or 180, max_range=args.max_range
+    )
+    log = load_any_log(args.log, sensor)
+    if args.beams is None and log["ranges"].shape[1] != sensor.n_beams:
+        sensor = dataclasses.replace(sensor, n_beams=log["ranges"].shape[1])
+
+    # Default grid anchor: odometry centroid keeps the whole (drifting)
+    # trajectory plus sensor range inside the fixed-capacity grid.
+    cx, cy = (
+        args.center if args.center is not None else log["odom"][:, :2].mean(axis=0)
+    )
+    cfg = FrontendConfig(
+        sensor=sensor,
+        grid=GridConfig(
+            height=args.grid_size, width=args.grid_size,
+            resolution=args.resolution,
+            ray_samples=int(args.max_range / args.resolution) + 16,
+            center_x=float(cx), center_y=float(cy),
+        ),
+        matcher=MatcherConfig(
+            search_xy=args.search_xy, search_theta=args.search_theta,
+            n_theta=args.n_theta,
+        ),
+        chunk=args.chunk,
+    )
+
+    t0 = time.perf_counter()
+    extra: dict = {}
+    if args.mode == "frontend":
+        from slam2d_tpu.run.frontend import run_frontend
+
+        state, traj, scores = run_frontend(log, cfg)
+        grid = state.logodds
+        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+    elif args.mode == "fastslam":
+        from slam2d_tpu.config import PFConfig
+        from slam2d_tpu.run.fastslam_run import run_fastslam
+
+        pf = PFConfig(n_particles=args.particles)
+        if args.shard:
+            from slam2d_tpu.run.sharded_run import run_sharded_fastslam
+
+            state, traj, n_eff, scores = run_sharded_fastslam(
+                log, cfg, pf, seed=args.seed
+            )
+            best = int(np.argmax(np.asarray(state.log_w)))
+            grid = state.logodds[best]
+        else:
+            state, traj, n_eff, scores = run_fastslam(log, cfg, pf, seed=args.seed)
+            best = int(np.argmax(np.asarray(state.log_w)))
+            grid = state.logodds[best]
+        extra["mean_n_eff"] = float(np.mean(n_eff))
+    else:  # full
+        from slam2d_tpu.run.full_slam import run_full_slam
+
+        gcfg = GraphConfig()
+        res = run_full_slam(log, cfg, gcfg)
+        traj, grid = res.traj, res.grid
+        extra["n_loops"] = res.n_loops
+        extra["n_keyframes"] = len(res.kf_poses)
+        extra["chi2"] = res.chi2
+    dt = time.perf_counter() - t0
+
+    metrics = {
+        "mode": args.mode,
+        "scans": len(traj),
+        "wall_s": round(dt, 3),
+        "scans_per_sec": round(len(traj) / dt, 2),
+        **extra,
+    }
+    if args.gt_ate and "gt_poses" in log:
+        from slam2d_tpu.metrics import ate_rmse
+
+        metrics["ate_m"] = round(ate_rmse(traj, log["gt_poses"], align=False), 4)
+        metrics["ate_odom_m"] = round(
+            ate_rmse(log["odom"], log["gt_poses"], align=False), 4
+        )
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        np.save(os.path.join(args.out, "trajectory.npy"), traj)
+        np.save(os.path.join(args.out, "map_logodds.npy"), np.asarray(grid))
+        if args.save_viz:
+            from slam2d_tpu.viz import save_map_png
+
+            save_map_png(
+                os.path.join(args.out, "map.png"), grid, cfg.grid,
+                traj=traj, gt=log.get("gt_poses"),
+                title=f"{args.mode} | {os.path.basename(args.log)}",
+            )
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

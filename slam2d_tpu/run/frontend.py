@@ -19,11 +19,12 @@ import numpy as np
 from slam2d_tpu.config import FrontendConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.grid.occupancy import make_grid, raycast_update
-from slam2d_tpu.match.correlative import match_scan
+from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
 class FrontendState(NamedTuple):
     logodds: jax.Array       # [H, W]
+    search_space: jax.Array  # [H, W] cached blurred likelihood field
     pose: jax.Array          # [3] current corrected pose estimate
     prev_odom: jax.Array     # [3] odometry pose at the previous scan
     dist: jax.Array          # scalar: cumulative distance traveled
@@ -34,10 +35,13 @@ class FrontendState(NamedTuple):
 def frontend_init(cfg: FrontendConfig, start_pose=None, start_odom=None):
     pose = jnp.zeros(3, jnp.float32) if start_pose is None else jnp.asarray(start_pose, jnp.float32)
     odom = pose if start_odom is None else jnp.asarray(start_odom, jnp.float32)
+    grid = make_grid(cfg.grid)
     # distinct buffers everywhere — the chunk runner donates the state, and
     # aliased leaves would be donated twice
     return FrontendState(
-        make_grid(cfg.grid), pose, odom + 0.0, jnp.float32(0.0), pose + 0.0,
+        grid,
+        build_search_space(grid, cfg.matcher, cfg.grid.resolution),
+        pose, odom + 0.0, jnp.float32(0.0), pose + 0.0,
         jnp.zeros(2, jnp.float32),
     )
 
@@ -49,13 +53,15 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     integrates every scan. Afterwards the matcher runs only after enough
     motion since the last match (dead-reckoning in between) and the map only
     integrates on sufficient motion (see FrontendConfig for why both gates).
+
+    Both heavy stages sit behind `lax.cond`, so gated-off scans cost almost
+    nothing, and the blurred search space is CACHED in the state — it only
+    changes when the map does, so it is rebuilt inside the update branch
+    rather than per scan (the map blur was the per-scan bandwidth hot spot).
     """
     delta = se2.between(state.prev_odom, odom)
     step_len = jnp.hypot(delta[0], delta[1])
     prior = se2.compose(state.pose, delta)
-    matched, score = match_scan(
-        state.logodds, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor
-    )
     in_boot = state.dist < cfg.bootstrap_dist
     since_m = state.since_match + jnp.stack(
         [step_len, jnp.abs(se2.wrap_angle(delta[2]))]
@@ -63,7 +69,17 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     do_match = (~in_boot) & (
         (since_m[0] >= cfg.match_min_motion) | (since_m[1] >= cfg.match_min_rot)
     )
-    pose = jnp.where(do_match, matched, prior)
+
+    def match_branch(_):
+        return match_scan(
+            state.logodds, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor,
+            search_space=state.search_space,
+        )
+
+    def skip_match(_):
+        return prior, jnp.float32(-1.0)
+
+    pose, score = jax.lax.cond(do_match, match_branch, skip_match, None)
     since_m = jnp.where(do_match, jnp.zeros_like(since_m), since_m)
 
     moved = jnp.hypot(
@@ -73,14 +89,27 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     do_update = in_boot | (moved >= cfg.map_update_min_motion) | (
         rotated >= cfg.map_update_min_rot
     )
-    logodds = raycast_update(
-        state.logodds, pose, ranges, cfg.grid, cfg.sensor,
-        enable=do_update.astype(jnp.float32),
+
+    def update_branch(_):
+        logodds = raycast_update(
+            state.logodds, pose, ranges, cfg.grid, cfg.sensor
+        )
+        return logodds, build_search_space(
+            logodds, cfg.matcher, cfg.grid.resolution
+        )
+
+    def skip_update(_):
+        return state.logodds, state.search_space
+
+    logodds, search_space = jax.lax.cond(
+        do_update, update_branch, skip_update, None
     )
     last_map_pose = jnp.where(do_update, pose, state.last_map_pose)
     dist = state.dist + step_len
     return (
-        FrontendState(logodds, pose, odom, dist, last_map_pose, since_m),
+        FrontendState(
+            logodds, search_space, pose, odom, dist, last_map_pose, since_m
+        ),
         (pose, score),
     )
 

@@ -31,7 +31,7 @@ from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
 from slam2d_tpu.grid.occupancy import make_grid, raycast_update
-from slam2d_tpu.match.correlative import match_scan
+from slam2d_tpu.match.correlative import build_search_space, match_scan
 from slam2d_tpu.run.frontend import FrontendState, frontend_init, make_chunk_fn
 
 
@@ -213,6 +213,9 @@ def run_full_slam(
         )
         state = state._replace(
             logodds=new_grid,
+            search_space=build_search_space(
+                new_grid, cfg.matcher, cfg.grid.resolution
+            ),
             pose=new_pose,
             last_map_pose=new_pose + 0.0,
         )
