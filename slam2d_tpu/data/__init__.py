@@ -1,2 +1,12 @@
-from slam2d_tpu.data.carmen import load_carmen_log, load_json_log  # noqa: F401
+from slam2d_tpu.data.carmen import load_json_log  # noqa: F401
+from slam2d_tpu.data.carmen import load_carmen_log as _load_carmen_py
 from slam2d_tpu.data.synth import SynthWorld, simulate_log  # noqa: F401
+
+
+def load_carmen_log(path: str):
+    """CARMEN loader: native C++ parser when built, Python fallback."""
+    from slam2d_tpu.data import native
+
+    if native.native_available():
+        return native.load_carmen_log_native(path)
+    return _load_carmen_py(path)

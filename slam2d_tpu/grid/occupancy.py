@@ -61,19 +61,32 @@ def beam_angles(sensor: SensorConfig):
 
 
 def raycast_update(
-    logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig, enable=1.0
+    logodds,
+    pose,
+    ranges,
+    cfg: GridConfig,
+    sensor: SensorConfig,
+    enable=1.0,
+    origin_xy=None,
 ):
     """Integrate one scan taken from `pose` into the log-odds grid.
 
     Args:
-      logodds: [H, W] float32.
+      logodds: [H, W] float32 — the full grid OR an extracted window.
       pose: [3] (x, y, theta) world pose of the sensor.
       ranges: [B] float32 measured ranges (pre-clipped or raw).
       enable: scalar in {0, 1} multiplying all increments — lets a jitted
         caller gate the update (motion filter) without dynamic control flow.
+      origin_xy: world (x, y) of cell (0, 0); defaults to the grid config's
+        origin — pass the window origin when updating a window.
     Returns:
       updated [H, W] log-odds.
     """
+    H, W = logodds.shape
+    if origin_xy is None:
+        ox, oy = cfg.origin_x, cfg.origin_y
+    else:
+        ox, oy = origin_xy
     angles = beam_angles(sensor) + pose[2]          # [B] world bearing
     r = ranges.astype(jnp.float32)
     valid = (r > sensor.min_range) & jnp.isfinite(r)
@@ -91,8 +104,8 @@ def raycast_update(
     d = r_free[:, None] * frac[None, :]                          # [B, S]
     fx = pose[0] + dirx[:, None] * d
     fy = pose[1] + diry[:, None] * d
-    fcol = jnp.floor((fx - cfg.origin_x) / cfg.resolution).astype(jnp.int32)
-    frow = jnp.floor((fy - cfg.origin_y) / cfg.resolution).astype(jnp.int32)
+    fcol = jnp.floor((fx - ox) / cfg.resolution).astype(jnp.int32)
+    frow = jnp.floor((fy - oy) / cfg.resolution).astype(jnp.int32)
 
     # Per-sample increment scaled so that a traversed cell accumulates about
     # l_free total regardless of how many of the S samples land inside it.
@@ -100,22 +113,20 @@ def raycast_update(
     scale = jnp.minimum(spacing / cfg.resolution, 1.0)           # [B]
     free_w = cfg.l_free * scale[:, None] * valid[:, None]        # [B, S]
 
-    in_bounds = (
-        (frow >= 0) & (frow < cfg.height) & (fcol >= 0) & (fcol < cfg.width)
-    )
+    in_bounds = (frow >= 0) & (frow < H) & (fcol >= 0) & (fcol < W)
     free_w = jnp.where(in_bounds, free_w, 0.0)
-    frow = jnp.clip(frow, 0, cfg.height - 1)
-    fcol = jnp.clip(fcol, 0, cfg.width - 1)
+    frow = jnp.clip(frow, 0, H - 1)
+    fcol = jnp.clip(fcol, 0, W - 1)
 
     # --- endpoint (occupied) samples ---------------------------------------
     ex = pose[0] + dirx * r_clip
     ey = pose[1] + diry * r_clip
-    ecol = jnp.floor((ex - cfg.origin_x) / cfg.resolution).astype(jnp.int32)
-    erow = jnp.floor((ey - cfg.origin_y) / cfg.resolution).astype(jnp.int32)
-    e_in = (erow >= 0) & (erow < cfg.height) & (ecol >= 0) & (ecol < cfg.width)
+    ecol = jnp.floor((ex - ox) / cfg.resolution).astype(jnp.int32)
+    erow = jnp.floor((ey - oy) / cfg.resolution).astype(jnp.int32)
+    e_in = (erow >= 0) & (erow < H) & (ecol >= 0) & (ecol < W)
     occ_w = jnp.where(hit & e_in, cfg.l_occ, 0.0)                # [B]
-    erow = jnp.clip(erow, 0, cfg.height - 1)
-    ecol = jnp.clip(ecol, 0, cfg.width - 1)
+    erow = jnp.clip(erow, 0, H - 1)
+    ecol = jnp.clip(ecol, 0, W - 1)
 
     rows = jnp.concatenate([frow.reshape(-1), erow])
     cols = jnp.concatenate([fcol.reshape(-1), ecol])

@@ -165,6 +165,7 @@ def match_scan(
     mcfg: MatcherConfig,
     sensor: SensorConfig,
     search_space=None,
+    origin_xy=None,
 ):
     """Coarse-to-fine correlative match of one scan against the grid.
 
@@ -184,7 +185,13 @@ def match_scan(
     Sc = coarse_space(S, f)
 
     pts_local, valid = scan_endpoints_local(ranges, sensor)
-    origin = jnp.asarray([gcfg.origin_x, gcfg.origin_y], dtype=jnp.float32)
+    if origin_xy is None:
+        origin = jnp.asarray([gcfg.origin_x, gcfg.origin_y], dtype=jnp.float32)
+    else:
+        origin = jnp.stack(
+            [jnp.asarray(origin_xy[0], jnp.float32),
+             jnp.asarray(origin_xy[1], jnp.float32)]
+        )
 
     dthetas = jnp.asarray(
         np.linspace(-mcfg.search_theta, mcfg.search_theta, mcfg.n_theta),

@@ -18,7 +18,14 @@ import numpy as np
 
 from slam2d_tpu.config import FrontendConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.grid.occupancy import make_grid, raycast_update, world_to_cell
+from slam2d_tpu.grid.window import (
+    blur_halo_cells,
+    extract_window,
+    scan_window_cells,
+    write_window,
+    write_window_interior,
+)
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
@@ -70,10 +77,24 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
         (since_m[0] >= cfg.match_min_motion) | (since_m[1] >= cfg.match_min_rot)
     )
 
+    win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    windowed = win < min(cfg.grid.height, cfg.grid.width)
+
     def match_branch(_):
+        if not windowed:
+            return match_scan(
+                state.logodds, ranges, prior, cfg.grid, cfg.matcher,
+                cfg.sensor, search_space=state.search_space,
+            )
+        center = world_to_cell(prior[:2], cfg.grid)
+        Sw, (r0, c0) = extract_window(state.search_space, center, win)
+        origin = (
+            cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
+            cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
+        )
         return match_scan(
             state.logodds, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor,
-            search_space=state.search_space,
+            search_space=Sw, origin_xy=origin,
         )
 
     def skip_match(_):
@@ -91,12 +112,33 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     )
 
     def update_branch(_):
-        logodds = raycast_update(
-            state.logodds, pose, ranges, cfg.grid, cfg.sensor
+        if not windowed:
+            logodds = raycast_update(
+                state.logodds, pose, ranges, cfg.grid, cfg.sensor
+            )
+            return logodds, build_search_space(
+                logodds, cfg.matcher, cfg.grid.resolution
+            )
+        center = world_to_cell(pose[:2], cfg.grid)
+        gw, (r0, c0) = extract_window(state.logodds, center, win)
+        origin = (
+            cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
+            cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
         )
-        return logodds, build_search_space(
-            logodds, cfg.matcher, cfg.grid.resolution
+        gw = raycast_update(
+            gw, pose, ranges, cfg.grid, cfg.sensor, origin_xy=origin
         )
+        logodds = write_window(state.logodds, gw, (r0, c0))
+        # Recompute the blurred field on the window; its outer blur-halo
+        # ring saw a truncated neighborhood, but the scan cannot have
+        # changed cells that close to the window edge (see window sizing),
+        # so writing back the interior keeps the global field exact.
+        Sw = build_search_space(gw, cfg.matcher, cfg.grid.resolution)
+        halo = blur_halo_cells(cfg.matcher, cfg.grid.resolution)
+        search_space = write_window_interior(
+            state.search_space, Sw, (r0, c0), halo
+        )
+        return logodds, search_space
 
     def skip_update(_):
         return state.logodds, state.search_space

@@ -1,0 +1,47 @@
+"""Native C++ CARMEN parser == Python parser (skipped if no toolchain)."""
+
+import numpy as np
+import pytest
+
+from slam2d_tpu.data.carmen import load_carmen_log as load_py
+
+
+def _make_log(tmp_path, rows=50, beams=12):
+    rng = np.random.default_rng(1)
+    lines = ["# carmen log\n", "PARAM robot_frontlaser_offset 0.08\n"]
+    for t in range(rows):
+        r = rng.uniform(0.5, 20.0, beams)
+        pose = rng.uniform(-10, 10, 6)
+        lines.append(
+            "FLASER %d %s %s 1.0 host 1.0\n"
+            % (
+                beams,
+                " ".join(f"{v:.3f}" for v in r),
+                " ".join(f"{v:.6f}" for v in pose),
+            )
+        )
+        if t % 7 == 0:
+            lines.append("ODOM 1 2 3 0 0 0 ts host lts\n")
+    p = tmp_path / "log.clf"
+    p.write_text("".join(lines))
+    return str(p)
+
+
+def test_native_matches_python(tmp_path):
+    native = pytest.importorskip("slam2d_tpu.data.native")
+    if not native.native_available():
+        pytest.skip("native parser not buildable")
+    path = _make_log(tmp_path)
+    py = load_py(path)
+    nat = native.load_carmen_log_native(path)
+    assert nat["odom"].shape == py["odom"].shape
+    np.testing.assert_allclose(nat["odom"], py["odom"], atol=1e-4)
+    np.testing.assert_allclose(nat["ranges"], py["ranges"], atol=1e-3)
+
+
+def test_dispatcher_prefers_native(tmp_path):
+    from slam2d_tpu.data import load_carmen_log
+
+    path = _make_log(tmp_path, rows=5)
+    log = load_carmen_log(path)
+    assert log["ranges"].shape == (5, 12)
