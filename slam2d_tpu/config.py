@@ -49,7 +49,12 @@ class GridConfig:
     l_clamp: float = 10.0             # |log-odds| clamp
     # Static number of free-space samples per beam; sample spacing adapts to
     # the actual range so shapes stay static (SURVEY.md §9 "static shapes").
+    # Only used by the sparse ("raycast") update implementation.
     ray_samples: int = 192
+    # Scan-integration kernel: "dense" = inverse-sensor-model evaluated at
+    # every cell (zero scatter; the TPU-native formulation), "sparse" =
+    # per-beam ray sampling + scatter-add (reference-style; slow on TPU).
+    update_impl: str = "dense"
 
     @property
     def origin_x(self) -> float:
@@ -79,6 +84,10 @@ class MatcherConfig:
     # Gaussian blur sigma for the search space, in METERS (converted to cells
     # at the grid's resolution, so behavior is resolution-independent).
     sigma_m: float = 0.10
+    # Candidate-scoring kernel: "mxu" = one-hot matmul formulation (fast on
+    # TPU), "gather" = direct XLA gather (fast enough on CPU), "auto" =
+    # pick by backend at trace time.
+    score_impl: str = "auto"
     occ_threshold: float = 0.5        # p(cell) above this counts as occupied
     occ_evidence_sat: float = 2.0     # log-odds at which a cell counts as a full wall
     free_threshold: float = 0.45      # p(cell) below this counts as known-free

@@ -1,0 +1,192 @@
+"""Tiled, world-anchored occupancy map (SURVEY.md §2 L1, §4.2).
+
+The reference grows its NumPy grid when the robot nears a border — a
+reshape XLA cannot express. Here the world is an unbounded integer lattice
+of fixed-size tiles; the device holds a fixed pool of tile slots:
+
+    tiles  [N+1, th, tw]  log-odds content per slot (slot N = trash/void)
+    coords [N+1, 2]       world tile index (row, col) per slot, INT_MIN=free
+
+Activating a tile when the robot approaches new territory is a HOST-side
+table update (assign a free slot, zero it) — never a reshape, so every
+device computation keeps static shapes. Device-side ops:
+
+- `lookup(coords_q)`: tile index -> slot by comparing against the table
+  (O(N) vectorized compare; N is tens).
+- `gather_region` / `scatter_region`: assemble or write back a static-size
+  [size, size] window that may span a (static) few tiles — the same window
+  the hot path already uses (grid/window.py), so the frontend runs on a
+  tiled world with the identical matcher/update kernels.
+
+Missing tiles read as unknown (log-odds 0); writes to missing tiles land in
+the trash slot (slot N) and are discarded — the host's activation forecast
+(odometry + max range) makes that a never-in-practice safety valve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FREE_SLOT = np.int32(-(2**31))  # sentinel coord for an unused slot
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    tile: int = 512            # cells per tile side
+    n_slots: int = 64          # device tile-pool capacity (excl. trash slot)
+    resolution: float = 0.05   # meters per cell
+    # world position of cell (0, 0) of tile (0, 0)
+    origin_x: float = 0.0
+    origin_y: float = 0.0
+    l_clamp: float = 10.0
+
+
+class TiledGrid(NamedTuple):
+    tiles: jax.Array    # [N+1, th, tw] float32
+    coords: jax.Array   # [N+1, 2] int32 world tile indices; FREE_SLOT=empty
+
+
+def tiled_init(cfg: TileConfig) -> TiledGrid:
+    n = cfg.n_slots + 1
+    return TiledGrid(
+        tiles=jnp.zeros((n, cfg.tile, cfg.tile), jnp.float32),
+        coords=jnp.full((n, 2), FREE_SLOT, jnp.int32),
+    )
+
+
+def world_to_cell_global(xy, cfg: TileConfig):
+    """World (x, y) -> global integer (row, col) on the unbounded lattice."""
+    col = jnp.floor((xy[..., 0] - cfg.origin_x) / cfg.resolution)
+    row = jnp.floor((xy[..., 1] - cfg.origin_y) / cfg.resolution)
+    return jnp.stack([row, col], axis=-1).astype(jnp.int32)
+
+
+def lookup_slot(coords_table, tile_rc):
+    """Slot index for world tile (row, col); the trash slot if absent."""
+    n = coords_table.shape[0] - 1
+    hit = jnp.all(coords_table[:n] == tile_rc[None, :], axis=1)
+    found = jnp.any(hit)
+    slot = jnp.argmax(hit)
+    return jnp.where(found, slot, n).astype(jnp.int32), found
+
+
+def required_tiles(poses_xy: np.ndarray, reach_m: float, cfg: TileConfig):
+    """HOST helper: set of world tile (row, col) a trajectory segment plus
+    sensor reach can touch. Conservative bounding boxes per pose."""
+    need = set()
+    t = cfg.tile * cfg.resolution
+    for x, y in np.asarray(poses_xy).reshape(-1, 2):
+        r0 = math.floor((y - cfg.origin_y - reach_m) / t)
+        r1 = math.floor((y - cfg.origin_y + reach_m) / t)
+        c0 = math.floor((x - cfg.origin_x - reach_m) / t)
+        c1 = math.floor((x - cfg.origin_x + reach_m) / t)
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                need.add((r, c))
+    return need
+
+
+class TileTable:
+    """HOST-side mirror of the slot table; owns activation decisions."""
+
+    def __init__(self, cfg: TileConfig):
+        self.cfg = cfg
+        self.slot_of: dict[tuple[int, int], int] = {}
+
+    def activate(self, grid: TiledGrid, tiles_needed) -> TiledGrid:
+        """Assign free slots to any unseen tiles; returns updated grid.
+        Raises if the pool is exhausted (capacity is a config decision)."""
+        coords = None
+        for rc in tiles_needed:
+            rc = (int(rc[0]), int(rc[1]))
+            if rc in self.slot_of:
+                continue
+            slot = len(self.slot_of)
+            if slot >= self.cfg.n_slots:
+                raise RuntimeError(
+                    f"tile pool exhausted ({self.cfg.n_slots} slots); "
+                    "raise TileConfig.n_slots"
+                )
+            self.slot_of[rc] = slot
+            if coords is None:
+                coords = np.asarray(grid.coords).copy()
+            coords[slot] = rc
+        if coords is not None:
+            grid = grid._replace(coords=jnp.asarray(coords))
+        return grid
+
+
+def _span_candidates(origin_rc, size: int, tile: int):
+    """Static-count candidate tile indices covering a window: per axis the
+    window spans at most ceil(size/tile)+1 tiles."""
+    nc = size // tile + 2
+    base = jnp.floor_divide(origin_rc, tile)  # tile of the window origin
+    offs = jnp.arange(nc, dtype=jnp.int32)
+    return base, offs  # candidate tile (base[0]+i, base[1]+j)
+
+
+def gather_region(grid: TiledGrid, cfg: TileConfig, origin_rc, size: int):
+    """Assemble the [size, size] window whose global top-left cell is
+    origin_rc (row, col). Missing tiles read as zeros."""
+    tile = cfg.tile
+    base, offs = _span_candidates(origin_rc, size, tile)
+    nc = offs.shape[0]
+    out = jnp.zeros((size, size), jnp.float32)
+
+    for i in range(nc):
+        for j in range(nc):
+            trc = base + jnp.stack([offs[i], offs[j]])
+            slot, found = lookup_slot(grid.coords, trc)
+            content = jnp.where(found, grid.tiles[slot], 0.0)
+            # global cell of this tile's (0, 0)
+            t0 = trc * tile
+            # overlap of [t0, t0+tile) with [origin, origin+size)
+            # shift = position of tile origin within the window
+            dr = t0[0] - origin_rc[0]
+            dc = t0[1] - origin_rc[1]
+            # paste content into out at (dr, dc) — dynamic_update_slice
+            # clamps, so pad `out` by tile on each side and slice back.
+            padded = jnp.zeros((size + 2 * tile, size + 2 * tile), jnp.float32)
+            padded = jax.lax.dynamic_update_slice(
+                padded, content, (dr + tile, dc + tile)
+            )
+            out = out + padded[tile : tile + size, tile : tile + size]
+    return out
+
+
+def scatter_region(grid: TiledGrid, cfg: TileConfig, window, origin_rc):
+    """Write a [size, size] window back: each covered tile's overlap is
+    replaced. Writes to missing tiles fall into the trash slot."""
+    tile = cfg.tile
+    size = window.shape[0]
+    base, offs = _span_candidates(origin_rc, size, tile)
+    nc = offs.shape[0]
+    # pad the window so any tile-sized slice at a dynamic offset is valid
+    padded = jnp.zeros((size + 2 * tile, size + 2 * tile), window.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, window, (tile, tile))
+    # validity mask with the same padding: 1 inside the window
+    vmask = jnp.zeros_like(padded).at[
+        tile : tile + size, tile : tile + size
+    ].set(1.0)
+
+    tiles = grid.tiles
+    for i in range(nc):
+        for j in range(nc):
+            trc = base + jnp.stack([offs[i], offs[j]])
+            slot, found = lookup_slot(grid.coords, trc)
+            t0 = trc * tile
+            dr = t0[0] - origin_rc[0] + tile   # position in padded coords
+            dc = t0[1] - origin_rc[1] + tile
+            part = jax.lax.dynamic_slice(padded, (dr, dc), (tile, tile))
+            m = jax.lax.dynamic_slice(vmask, (dr, dc), (tile, tile))
+            # replace covered cells, keep the rest; trash slot absorbs
+            # not-found writes harmlessly
+            updated = tiles[slot] * (1.0 - m) + part * m
+            tiles = tiles.at[slot].set(updated)
+    return grid._replace(tiles=tiles)

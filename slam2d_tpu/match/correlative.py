@@ -75,6 +75,14 @@ def coarse_space(S, factor: int):
     return S.reshape(H // factor, factor, W // factor, factor).max(axis=(1, 3))
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "mxu" if jax.default_backend() == "tpu" else "gather"
+
+
 def score_offsets(
     S,
     prior_pose,
@@ -86,6 +94,7 @@ def score_offsets(
     cell_size: float,
     origin_xy,
     bilinear: bool = False,
+    impl: str = "gather",
 ):
     """Score every (dtheta, drow, dcol) candidate around prior_pose.
 
@@ -112,8 +121,22 @@ def score_offsets(
     pos_col = (pts[..., 0] + prior_pose[0] - origin_xy[0]) / cell_size - 0.5
     pos_row = (pts[..., 1] + prior_pose[1] - origin_xy[1]) / cell_size - 0.5
 
-    flat = S.reshape(-1)
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+    if impl == "mxu":
+        # requires drows/dcols to be contiguous symmetric ranges (they are,
+        # for both matcher passes) — the MXU path derives offsets from R, C
+        from slam2d_tpu.ops.mxu_score import score_offsets_mxu
+
+        return (
+            score_offsets_mxu(
+                S, pos_row, pos_col, valid,
+                R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
+            )
+            / denom
+        )
+
+    flat = S.reshape(-1)
 
     def gather_sum(base_row, base_col, beam_w):
         """Sum_b w_b * S[base_row_b + drow, base_col_b + dcol] -> [T, R, C]."""
@@ -211,9 +234,10 @@ def match_scan(
     r_coarse = int(math.ceil(r_fine / f))
     coarse_off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
     cs = gcfg.resolution * f
+    impl = _resolve_impl(mcfg.score_impl)
     sc = score_offsets(
         Sc, prior_pose, pts_local, valid, dthetas, coarse_off, coarse_off,
-        cs, origin,
+        cs, origin, impl=impl,
     )
     off_m = coarse_off.astype(jnp.float32) * cs
     sc = sc - penalty(off_m, off_m, dthetas)
@@ -228,7 +252,7 @@ def match_scan(
     fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
     sf = score_offsets(
         S, prior2, pts_local, valid, dthetas, fine_off, fine_off,
-        gcfg.resolution, origin, bilinear=True,
+        gcfg.resolution, origin, bilinear=True, impl=impl,
     )
     fine_m = fine_off.astype(jnp.float32) * gcfg.resolution
     sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dthetas)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
 from slam2d_tpu.match.correlative import match_scan
 
 
@@ -114,7 +114,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     since = state.since_update + step_len
     do_update = in_boot | (since >= cfg.map_update_min_motion)
     upd = jax.vmap(
-        lambda g, p: raycast_update(
+        lambda g, p: integrate_scan(
             g, p, ranges, cfg.grid, cfg.sensor,
             enable=do_update.astype(jnp.float32),
         )

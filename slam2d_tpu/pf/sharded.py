@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import raycast_update
+from slam2d_tpu.grid.occupancy import integrate_scan
 from slam2d_tpu.match.correlative import match_scan
 from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import PFState, fastslam_init, systematic_ancestors
@@ -111,7 +111,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         since = state.since_update + step_len
         do_update = in_boot | (since >= cfg.map_update_min_motion)
         logodds = jax.vmap(
-            lambda g, p: raycast_update(
+            lambda g, p: integrate_scan(
                 g, p, ranges, cfg.grid, cfg.sensor,
                 enable=do_update.astype(jnp.float32),
             )

@@ -18,7 +18,7 @@ import numpy as np
 
 from slam2d_tpu.config import FrontendConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import make_grid, raycast_update, world_to_cell
+from slam2d_tpu.grid.occupancy import make_grid, integrate_scan, world_to_cell
 from slam2d_tpu.grid.window import (
     blur_halo_cells,
     extract_window,
@@ -113,7 +113,7 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
 
     def update_branch(_):
         if not windowed:
-            logodds = raycast_update(
+            logodds = integrate_scan(
                 state.logodds, pose, ranges, cfg.grid, cfg.sensor
             )
             return logodds, build_search_space(
@@ -125,7 +125,7 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
             cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
             cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
         )
-        gw = raycast_update(
+        gw = integrate_scan(
             gw, pose, ranges, cfg.grid, cfg.sensor, origin_xy=origin
         )
         logodds = write_window(state.logodds, gw, (r0, c0))

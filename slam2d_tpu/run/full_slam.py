@@ -30,7 +30,7 @@ import numpy as np
 from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
-from slam2d_tpu.grid.occupancy import make_grid, raycast_update
+from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 from slam2d_tpu.run.frontend import FrontendState, frontend_init, make_chunk_fn
 
@@ -45,7 +45,7 @@ def make_rebuild_fn(cfg: FrontendConfig, capacity: int):
         def body(g, inp):
             p, r, m = inp
             return (
-                raycast_update(g, p, r, cfg.grid, cfg.sensor, enable=m),
+                integrate_scan(g, p, r, cfg.grid, cfg.sensor, enable=m),
                 None,
             )
 
