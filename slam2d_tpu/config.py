@@ -51,10 +51,13 @@ class GridConfig:
     # the actual range so shapes stay static (SURVEY.md §9 "static shapes").
     # Only used by the sparse ("raycast") update implementation.
     ray_samples: int = 192
-    # Scan-integration kernel: "dense" = inverse-sensor-model evaluated at
-    # every cell (zero scatter; the TPU-native formulation), "sparse" =
-    # per-beam ray sampling + scatter-add (reference-style; slow on TPU).
-    update_impl: str = "dense"
+    # Scan-integration kernel: "sparse" = per-beam ray sampling +
+    # scatter-add (reference-style; ~1.3 ms on a 576^2 window — the scatter
+    # is fine on TPU), "dense" = inverse-sensor-model evaluated at every
+    # cell (its per-cell beam-table GATHERS are what's slow on TPU —
+    # measured 17 ms — so sparse stays the default until the dense lookups
+    # are reformulated as one-hot matmuls).
+    update_impl: str = "sparse"
 
     @property
     def origin_x(self) -> float:

@@ -35,6 +35,7 @@ class PFState(NamedTuple):
     rng: jax.Array            # PRNG key
     dist: jax.Array           # scalar: cumulative odometry travel
     since_update: jax.Array   # scalar: travel since last map integration
+    since_match: jax.Array    # scalar: travel since last refinement step
 
 
 def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
@@ -52,6 +53,7 @@ def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
         rng=rng,
         dist=jnp.float32(0.0),
         since_update=jnp.float32(jnp.inf),  # force first-scan integration
+        since_match=jnp.float32(0.0),
     )
 
 
@@ -81,57 +83,81 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     FastSLAM-2.0-flavored proposal: each particle refines its odometry+noise
     proposal with a correlative match against its OWN map (SURVEY.md §4.3
     step 2); the match score doubles as the likelihood-field weight update.
+
+    Refinement (the expensive per-particle matching + weighting + possible
+    resample) is motion-gated like the frontend's matcher: between
+    refinement steps all particles dead-reckon on odometry and the heavy
+    branch costs nothing (`lax.cond`). Proposal noise is injected once per
+    REFINEMENT, which keeps the cloud spread tied to travel rather than to
+    the log's scan rate.
     """
     P = pf.n_particles
     rng, k_noise, k_resample = jax.random.split(state.rng, 3)
 
     delta = se2.between(state.prev_odom, odom)
     step_len = jnp.hypot(delta[0], delta[1])
-
-    # --- propose: per-particle noisy odometry delta ------------------------
-    noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
-        [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
-    )
-    priors = se2.compose(state.poses, delta[None, :] + noise)
-
-    # --- refine + weight: per-particle match against own map ---------------
-    def refine_one(grid, prior):
-        return match_scan(grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor)
-
-    matched, scores = jax.vmap(refine_one)(state.logodds, priors)
-
     in_boot = state.dist < cfg.bootstrap_dist
-    poses = jnp.where(in_boot, priors, matched)
+    since_m = state.since_match + step_len
+    do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
 
-    # Likelihood-field weight in log space. Scores are in [-pen, 1]; softmax
-    # over particles later makes the additive offset irrelevant.
-    log_w = state.log_w + jnp.where(
-        in_boot, 0.0, pf.weight_sharpness * scores
+    def refine_branch(_):
+        noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
+            [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+        )
+        priors = se2.compose(state.poses, delta[None, :] + noise)
+        matched, scores = jax.vmap(
+            lambda g, p: match_scan(g, ranges, p, cfg.grid, cfg.matcher, cfg.sensor)
+        )(state.logodds, priors)
+        # log-space likelihood-field weights; the softmax-normalization
+        # makes the additive offset of the score range irrelevant
+        log_w = state.log_w + pf.weight_sharpness * scores
+        log_w = log_w - jax.scipy.special.logsumexp(log_w)
+        return matched, log_w, scores
+
+    def deadreckon_branch(_):
+        # during bootstrap: noisy propagation builds particle diversity
+        noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
+            [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+        )
+        d = jnp.where(in_boot, delta[None, :] + noise, delta[None, :])
+        poses = se2.compose(state.poses, d)
+        return poses, state.log_w, jnp.full((P,), -1.0, jnp.float32)
+
+    poses, log_w, scores = jax.lax.cond(
+        do_refine, refine_branch, deadreckon_branch, None
     )
-    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    since_m = jnp.where(do_refine, 0.0, since_m)
 
     # --- map update (motion-filtered, like the frontend) --------------------
     since = state.since_update + step_len
     do_update = in_boot | (since >= cfg.map_update_min_motion)
-    upd = jax.vmap(
-        lambda g, p: integrate_scan(
-            g, p, ranges, cfg.grid, cfg.sensor,
-            enable=do_update.astype(jnp.float32),
-        )
+
+    def update_branch(_):
+        return jax.vmap(
+            lambda g, p: integrate_scan(g, p, ranges, cfg.grid, cfg.sensor)
+        )(state.logodds, poses)
+
+    logodds = jax.lax.cond(
+        do_update, update_branch, lambda _: state.logodds, None
     )
-    logodds = upd(state.logodds, poses)
     since = jnp.where(do_update, 0.0, since)
 
-    # --- resample on N_eff trigger -----------------------------------------
+    # --- resample on N_eff trigger (only meaningful after a refinement) ----
     n_eff = effective_sample_size(log_w)
-    do_resample = n_eff < pf.resample_threshold * P
-    u = jax.random.uniform(k_resample)
-    ancestors = systematic_ancestors(log_w, u)
-    idx = jnp.where(do_resample, ancestors, jnp.arange(P, dtype=jnp.int32))
-    logodds = logodds[idx]
-    poses = poses[idx]
-    log_w = jnp.where(
-        do_resample, jnp.full((P,), -jnp.log(P), log_w.dtype), log_w
+    do_resample = do_refine & (n_eff < pf.resample_threshold * P)
+
+    def resample_branch(args):
+        logodds, poses, log_w = args
+        u = jax.random.uniform(k_resample)
+        ancestors = systematic_ancestors(log_w, u)
+        return (
+            logodds[ancestors],
+            poses[ancestors],
+            jnp.full((P,), -jnp.log(P), log_w.dtype),
+        )
+
+    logodds, poses, log_w = jax.lax.cond(
+        do_resample, resample_branch, lambda a: a, (logodds, poses, log_w)
     )
 
     best = jnp.argmax(log_w)
@@ -139,5 +165,5 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     best_score = scores[best]
     dist = state.dist + step_len
 
-    new_state = PFState(logodds, poses, log_w, odom, rng, dist, since)
+    new_state = PFState(logodds, poses, log_w, odom, rng, dist, since, since_m)
     return new_state, (best_pose, n_eff, best_score)

@@ -50,6 +50,7 @@ def sharded_state_sharding(mesh: Mesh, axis: str = PARTICLE_AXIS):
         rng=s(None),
         dist=s(),
         since_update=s(),
+        since_match=s(),
     )
 
 
@@ -103,9 +104,19 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         )(state.logodds, priors)
 
         in_boot = state.dist < cfg.bootstrap_dist
-        poses = jnp.where(in_boot, priors, matched)
+        since_m = state.since_match + step_len
+        do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
+        # boot: noisy propagation for diversity; between refinements:
+        # noiseless dead-reckoning; refinement: matched pose
+        deadreckon = jnp.where(
+            in_boot, priors, se2.compose(state.poses, delta[None, :])
+        )
+        poses = jnp.where(do_refine, matched, deadreckon)
+        since_m = jnp.where(do_refine, 0.0, since_m)
 
-        log_w = state.log_w + jnp.where(in_boot, 0.0, pf.weight_sharpness * scores)
+        log_w = state.log_w + jnp.where(
+            do_refine, pf.weight_sharpness * scores, 0.0
+        )
         log_w, n_eff = _global_log_normalize(log_w, axis)
 
         since = state.since_update + step_len
@@ -119,7 +130,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         since = jnp.where(do_update, 0.0, since)
 
         # ---- global systematic resampling ---------------------------------
-        do_resample = n_eff < pf.resample_threshold * P_total
+        do_resample = do_refine & (n_eff < pf.resample_threshold * P_total)
         u = jax.random.uniform(jax.random.fold_in(k_step, 10_000_019))
         log_w_all = jax.lax.all_gather(log_w, axis, tiled=True)
         ancestors = systematic_ancestors(log_w_all, u)          # [P] global
@@ -172,7 +183,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
 
         dist = state.dist + step_len
         new_state = PFState(
-            maps_new, poses_new, log_w_new, odom, rng, dist, since
+            maps_new, poses_new, log_w_new, odom, rng, dist, since, since_m
         )
         return new_state, (best_pose, n_eff, best_score)
 
@@ -184,6 +195,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         rng=P(None),
         dist=P(),
         since_update=P(),
+        since_match=P(),
     )
     out_specs = (state_specs, (P(None), P(), P()))
 

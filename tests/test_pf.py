@@ -95,7 +95,11 @@ def test_fastslam_resamples_on_degenerate_weights():
     # force concentrated weights and check a resample actually copies state
     bad_w = jnp.asarray([0.0] + [-50.0] * (pf.n_particles - 1))
     poses = jnp.arange(pf.n_particles * 3, dtype=jnp.float32).reshape(-1, 3)
-    state = state._replace(log_w=bad_w, poses=poses)
+    state = state._replace(
+        log_w=bad_w, poses=poses,
+        dist=jnp.float32(100.0),          # out of bootstrap
+        since_match=jnp.float32(100.0),   # refinement due this scan
+    )
     from slam2d_tpu.pf.fastslam import fastslam_step
 
     world = SynthWorld.box_rooms(12.0)

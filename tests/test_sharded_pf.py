@@ -108,7 +108,8 @@ def test_sharded_resample_migrates_across_shards(mesh):
         log_w=jnp.asarray(bad_w),
         poses=jnp.asarray(poses),
         logodds=jnp.asarray(maps),
-        dist=jnp.float32(100.0),   # out of bootstrap
+        dist=jnp.float32(100.0),          # out of bootstrap
+        since_match=jnp.float32(100.0),   # refinement due this scan
     )
     state = jax.device_put(
         state,
