@@ -1,0 +1,85 @@
+"""Benchmark: FastSLAM particle-filter throughput on one chip (config 3).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; baseline
+normalization as in bench.py (reference estimated ~1 scan/s, and its
+particle filter would be N times slower still — we conservatively keep the
+1.0 scans/s baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slam2d_tpu.config import (
+    FrontendConfig, GridConfig, MatcherConfig, PFConfig, SensorConfig,
+)
+from slam2d_tpu.data.synth import SynthWorld, simulate_log
+from slam2d_tpu.pf.fastslam import fastslam_init
+from slam2d_tpu.run.fastslam_run import make_pf_chunk_fn
+
+REFERENCE_SCANS_PER_SEC = 1.0
+
+
+def main():
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=180, max_range=12.0),
+        grid=GridConfig(
+            height=512, width=512, resolution=0.1, ray_samples=128,
+            center_x=10.0, center_y=10.0,
+        ),
+        matcher=MatcherConfig(search_xy=0.25, search_theta=0.12, n_theta=9),
+        chunk=32,
+        bootstrap_dist=2.0,
+    )
+    pf = PFConfig(n_particles=100)
+
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0]]
+    )
+    log = simulate_log(world, wp, cfg.sensor, step=0.05, seed=0)
+    odom = jnp.asarray(log["odom"])
+    ranges = jnp.asarray(log["ranges"])
+    T = (len(odom) // cfg.chunk) * cfg.chunk
+    n_chunks = T // cfg.chunk
+
+    state = fastslam_init(cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0])
+    state = state._replace(prev_odom=odom[0] + 0.0)
+    chunk_fn = make_pf_chunk_fn(cfg, pf)
+
+    state, out = chunk_fn(state, odom[: cfg.chunk], ranges[: cfg.chunk])
+    np.asarray(out[0])  # hard sync
+
+    t0 = time.perf_counter()
+    done = 0
+    for i in range(1, n_chunks):
+        s = i * cfg.chunk
+        state, out = chunk_fn(
+            state, odom[s : s + cfg.chunk], ranges[s : s + cfg.chunk]
+        )
+        done += cfg.chunk
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+
+    rate = done / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fastslam100_scans_per_sec",
+                "value": round(rate, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(rate / REFERENCE_SCANS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -238,7 +238,18 @@ def integrate_scan(
     logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig,
     enable=1.0, origin_xy=None,
 ):
-    """Scan integration dispatcher: GridConfig.update_impl picks the kernel."""
+    """Scan integration dispatcher: GridConfig.update_impl picks the kernel
+    ("sparse" | "dense" | "pallas")."""
+    if cfg.update_impl == "pallas":
+        from slam2d_tpu.ops.pallas_update import pallas_dense_update
+
+        import jax as _jax
+
+        return pallas_dense_update(
+            logodds, pose, ranges, cfg, sensor, enable=enable,
+            origin_xy=origin_xy,
+            interpret=_jax.default_backend() != "tpu",
+        )
     impl = raycast_update_dense if cfg.update_impl == "dense" else raycast_update
     return impl(
         logodds, pose, ranges, cfg, sensor, enable=enable, origin_xy=origin_xy

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for the dense inverse-sensor-model map update
+(SURVEY.md §2 L1 "Pallas raycast/update kernel").
+
+The XLA dense update (grid/occupancy.py raycast_update_dense) is elegant
+but needs per-cell lookups into the [B] beam table — and TPU XLA lowers
+those gathers to a serialized ~3 ms/op path. This kernel inverts the loop:
+iterate over BEAMS (a static 1-D loop over SMEM scalars) and evaluate each
+beam's wedge/arc masks over the whole VMEM-resident cell block with pure
+VPU math:
+
+  free |= (cell in beam b's angular slot) & (d < rmin3[b] - res)
+  occ  |= (cross-track to beam b <= 0.75 cell) & (|d - r_b| <= 0.75 cell)
+
+rmin3[b] = min of beam b and its neighbors' ranges (precomputed on the
+host side of the trace) keeps the free carve conservative at grazing
+incidence, matching the XLA dense semantics.
+
+Beam encodings: r_hit[b] < 0 means "no hit" (occ test can't fire),
+rmin3[b] < 0 means "invalid beam" (free test can't fire).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slam2d_tpu.config import GridConfig, SensorConfig
+
+
+def _atan_01(q):
+    """Minimax polynomial arctan on [0, 1] (A&S 4.4.49, |err| ~ 2e-8 —
+    Pallas TPU has no atan/atan2 primitive, so we implement it)."""
+    q2 = q * q
+    return q * (
+        0.9999993329
+        + q2 * (-0.3332985605
+        + q2 * (0.1994653599
+        + q2 * (-0.1390853351
+        + q2 * (0.0964200441
+        + q2 * (-0.0559098861
+        + q2 * (0.0218612288
+        + q2 * (-0.0040540580)))))))
+    )
+
+
+def _atan2(y, x):
+    """atan2 from the polynomial arctan; the min/max-ratio form keeps the
+    polynomial argument inside [0, 1]."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    q = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-20)
+    a = _atan_01(q)                                    # [0, pi/4]
+    a = jnp.where(ay > ax, 0.5 * jnp.pi - a, a)        # [0, pi/2]
+    a = jnp.where(x < 0, jnp.pi - a, a)                # [0, pi]
+    return jnp.where(y < 0, -a, a)                     # (-pi, pi]
+
+
+def _update_kernel(
+    scalars_ref,  # [8] SMEM f32: pose_x, pose_y, pose_theta, ox, oy, enable, _, _
+    r_hit_ref,    # [B] SMEM f32: range if hit else -1
+    rmin3_ref,    # [B] SMEM f32: neighborhood-min range if valid else -1
+    g_ref,        # [BH, W] VMEM: log-odds block
+    out_ref,      # [BH, W] VMEM
+    *,
+    n_beams: int,
+    block_rows: int,
+    width: int,
+    resolution: float,
+    step: float,
+    angle_min: float,
+    l_free: float,
+    l_occ: float,
+    l_clamp: float,
+):
+    i = pl.program_id(0)
+    px = scalars_ref[0]
+    py = scalars_ref[1]
+    ptheta = scalars_ref[2]
+    ox = scalars_ref[3]
+    oy = scalars_ref[4]
+    enable = scalars_ref[5]
+
+    row = (
+        lax.broadcasted_iota(jnp.int32, (block_rows, width), 0).astype(jnp.float32)
+        + (i * block_rows).astype(jnp.float32)
+    )
+    col = lax.broadcasted_iota(jnp.int32, (block_rows, width), 1).astype(jnp.float32)
+    cx = ox + (col + 0.5) * resolution - px
+    cy = oy + (row + 0.5) * resolution - py
+    d = jnp.sqrt(cx * cx + cy * cy)
+    phi = _atan2(cy, cx) - ptheta - angle_min
+    phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    half_slot = 0.5 * step
+    occ_tol = 0.75 * resolution
+
+    def body(b, carry):
+        free, occ = carry
+        ab = b.astype(jnp.float32) * step
+        dphi = jnp.abs(phi - ab)
+        r_b = r_hit_ref[b]
+        rm = rmin3_ref[b]
+        free = jnp.maximum(
+            free,
+            jnp.where((dphi <= half_slot) & (d < rm - resolution), 1.0, 0.0),
+        )
+        occ = jnp.maximum(
+            occ,
+            jnp.where(
+                (dphi * d <= occ_tol) & (jnp.abs(d - r_b) <= occ_tol) & (r_b > 0),
+                1.0,
+                0.0,
+            ),
+        )
+        return free, occ
+
+    zeros = jnp.zeros((block_rows, width), jnp.float32)
+    free, occ = lax.fori_loop(0, n_beams, body, (zeros, zeros))
+
+    upd = (l_free * free + l_occ * occ) * enable
+    out_ref[:, :] = jnp.clip(g_ref[:, :] + upd, -l_clamp, l_clamp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sensor", "interpret", "block_rows"),
+)
+def pallas_dense_update(
+    logodds,
+    pose,
+    ranges,
+    cfg: GridConfig,
+    sensor: SensorConfig,
+    enable=1.0,
+    origin_xy=None,
+    interpret: bool = False,
+    block_rows: int = 64,
+):
+    """Drop-in for raycast_update_dense backed by the Pallas kernel."""
+    H, W = logodds.shape
+    assert H % block_rows == 0, (H, block_rows)
+    if origin_xy is None:
+        ox, oy = cfg.origin_x, cfg.origin_y
+    else:
+        ox, oy = origin_xy
+
+    B = sensor.n_beams
+    step = sensor.fov_rad / max(B - 1, 1)
+    r = jnp.clip(ranges.astype(jnp.float32), 0.0, sensor.max_range)
+    valid = (ranges > sensor.min_range) & jnp.isfinite(ranges)
+    hit = valid & (ranges < sensor.max_range)
+    r_hit = jnp.where(hit, r, -1.0)
+    rv = jnp.where(valid, r, jnp.inf)
+    rmin3 = jnp.minimum(
+        rv,
+        jnp.minimum(
+            jnp.concatenate([rv[:1], rv[:-1]]),
+            jnp.concatenate([rv[1:], rv[-1:]]),
+        ),
+    )
+    rmin3 = jnp.where(valid & jnp.isfinite(rmin3), rmin3, -1.0)
+
+    scalars = jnp.stack(
+        [
+            pose[0], pose[1], pose[2],
+            jnp.asarray(ox, jnp.float32), jnp.asarray(oy, jnp.float32),
+            jnp.asarray(enable, jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0),
+        ]
+    )
+
+    kernel = functools.partial(
+        _update_kernel,
+        n_beams=B,
+        block_rows=block_rows,
+        width=W,
+        resolution=cfg.resolution,
+        step=float(step),
+        angle_min=sensor.angle_min,
+        l_free=cfg.l_free,
+        l_occ=cfg.l_occ,
+        l_clamp=cfg.l_clamp,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,      # scalars, r_hit, rmin3
+        grid=(H // block_rows,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_rows, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        interpret=interpret,
+    )(scalars, r_hit, rmin3, logodds)

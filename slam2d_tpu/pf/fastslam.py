@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
+from slam2d_tpu.grid.occupancy import integrate_scan
 from slam2d_tpu.match.correlative import match_scan
 
 

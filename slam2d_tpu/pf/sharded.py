@@ -25,7 +25,6 @@ all shards agree on the global ancestors.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

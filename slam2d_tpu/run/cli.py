@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-ate", action="store_true",
                    help="print ATE vs ground truth (synth logs only)")
     p.add_argument("--save-viz", action="store_true")
+    # checkpoint/resume (frontend mode): process [start, end) scans
+    p.add_argument("--save-state", default=None,
+                   help="directory to save the pipeline state (orbax)")
+    p.add_argument("--resume-state", default=None,
+                   help="directory to restore the pipeline state from")
+    p.add_argument("--scan-range", type=int, nargs=2, default=None,
+                   metavar=("START", "END"),
+                   help="process only scans [START, END) — pair with "
+                        "--save-state/--resume-state for mid-log resume")
     return p
 
 
@@ -102,12 +111,27 @@ def main(argv=None) -> int:
         chunk=args.chunk,
     )
 
+    if args.scan_range is not None:
+        s0, s1 = args.scan_range
+        log = {k: v[s0:s1] for k, v in log.items()}
+
     t0 = time.perf_counter()
     extra: dict = {}
     if args.mode == "frontend":
-        from slam2d_tpu.run.frontend import run_frontend
+        from slam2d_tpu.run.frontend import frontend_init, run_frontend
 
-        state, traj, scores = run_frontend(log, cfg)
+        init_state = None
+        if args.resume_state:
+            from slam2d_tpu.utils.checkpoint import load_state
+
+            init_state = load_state(args.resume_state, frontend_init(cfg))
+            extra["resumed_from"] = args.resume_state
+        state, traj, scores = run_frontend(log, cfg, state=init_state)
+        if args.save_state:
+            from slam2d_tpu.utils.checkpoint import save_state
+
+            save_state(args.save_state, state)
+            extra["saved_state"] = args.save_state
         grid = state.logodds
         extra["median_score"] = float(np.median(scores[scores >= 0.0]))
     elif args.mode == "fastslam":

@@ -19,8 +19,6 @@ against i's estimate, exactly the relative-pose measurement GN expects.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -32,7 +30,7 @@ from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
 from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
 from slam2d_tpu.match.correlative import build_search_space, match_scan
-from slam2d_tpu.run.frontend import FrontendState, frontend_init, make_chunk_fn
+from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
 
 def make_rebuild_fn(cfg: FrontendConfig, capacity: int):
