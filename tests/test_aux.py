@@ -89,6 +89,43 @@ def test_json_loader(tmp_path):
     assert log2["odom"].shape == (2, 3)
 
 
+def _run_cli(args, tmp_path, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "slam2d_tpu.run.cli", *args],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_cli_fastslam_synth(tmp_path):
+    metrics = _run_cli(
+        ["--mode", "fastslam", "--log", "synth", "--grid-size", "256",
+         "--resolution", "0.1", "--chunk", "16", "--particles", "8",
+         "--gt-ate"],
+        tmp_path,
+    )
+    assert metrics["mode"] == "fastslam"
+    assert metrics["scans"] > 100
+    assert 1.0 <= metrics["mean_n_eff"] <= 8.01
+    assert np.isfinite(metrics["ate_m"])
+
+
+def test_cli_full_synth(tmp_path):
+    metrics = _run_cli(
+        ["--mode", "full", "--log", "synth", "--grid-size", "384",
+         "--resolution", "0.1", "--chunk", "16"],
+        tmp_path,
+    )
+    assert metrics["mode"] == "full"
+    assert metrics["n_keyframes"] > 10
+
+
 def test_cli_frontend_synth(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
