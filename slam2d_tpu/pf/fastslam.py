@@ -23,8 +23,28 @@ import jax.numpy as jnp
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import integrate_scan
-from slam2d_tpu.match.correlative import match_scan
+from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
+from slam2d_tpu.grid.window import extract_window, scan_window_cells
+from slam2d_tpu.match.correlative import build_search_space, match_scan
+
+
+def _windowed_match(grid, ranges, prior, cfg: FrontendConfig):
+    """Per-particle match: blur and score only a static window around the
+    prior (a scan can't read outside it), not the particle's whole map."""
+    win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    if win >= min(cfg.grid.height, cfg.grid.width):
+        return match_scan(grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor)
+    center = world_to_cell(prior[:2], cfg.grid)
+    gw, (r0, c0) = extract_window(grid, center, win)
+    Sw = build_search_space(gw, cfg.matcher, cfg.grid.resolution)
+    origin = (
+        cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
+        cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
+    )
+    return match_scan(
+        grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor,
+        search_space=Sw, origin_xy=origin,
+    )
 
 
 class PFState(NamedTuple):
@@ -106,7 +126,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
         matched, scores = jax.vmap(
-            lambda g, p: match_scan(g, ranges, p, cfg.grid, cfg.matcher, cfg.sensor)
+            lambda g, p: _windowed_match(g, ranges, p, cfg)
         )(state.logodds, priors)
         # log-space likelihood-field weights; the softmax-normalization
         # makes the additive offset of the score range irrelevant

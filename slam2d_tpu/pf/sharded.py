@@ -33,9 +33,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.grid.occupancy import integrate_scan
-from slam2d_tpu.match.correlative import match_scan
 from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
-from slam2d_tpu.pf.fastslam import PFState, fastslam_init, systematic_ancestors
+from slam2d_tpu.pf.fastslam import (
+    PFState,
+    _windowed_match,
+    fastslam_init,
+    systematic_ancestors,
+)
 
 
 def sharded_state_sharding(mesh: Mesh, axis: str = PARTICLE_AXIS):
@@ -99,7 +103,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         priors = se2.compose(state.poses, delta[None, :] + noise)
 
         matched, scores = jax.vmap(
-            lambda g, p: match_scan(g, ranges, p, cfg.grid, cfg.matcher, cfg.sensor)
+            lambda g, p: _windowed_match(g, ranges, p, cfg)
         )(state.logodds, priors)
 
         in_boot = state.dist < cfg.bootstrap_dist

@@ -1,25 +1,13 @@
-"""Full SLAM: frontend + keyframes + loop closure + pose-graph backend
-(SURVEY.md §5.3, config 5).
+"""Full SLAM (config 5) on the UNBOUNDED tiled world map — frontend
+tracking on tiles, keyframe-relative loop-closure submaps, pose-graph
+optimization, and a tiled map rebuild after corrections. This is the
+MIT-Killian-scale configuration: no fixed grid bounds the trajectory.
 
-Host owns only control flow (keyframe admission, loop gating, when to
-optimize); every dense computation is a jitted device call:
-
-- frontend tracking: chunked `lax.scan` (run/frontend.py),
-- loop candidate scoring: wide-window correlative match of the current
-  keyframe scan against a submap rebuilt on device from the old keyframe's
-  neighborhood,
-- graph optimization: dense GN (graph/se2_graph.py),
-- map rebuild after a correction: one `lax.scan` re-raycasting every
-  keyframe scan at its corrected pose into a fresh grid.
-
-Loop edges: z_ij = (Xi_est)^-1 ⊞ matched_Xj — the matched absolute pose of
-keyframe j in the submap (built in world frame around keyframe i) composed
-against i's estimate, exactly the relative-pose measurement GN expects.
-"""
+Shares the submap/optimizer machinery with run/full_slam.py (submaps are
+built in the anchor keyframe's frame on a small zero-centered grid, so
+they never depend on world extent)."""
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,111 +16,99 @@ import numpy as np
 from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
-from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
-from slam2d_tpu.match.correlative import build_search_space, match_scan
-from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
+from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
+from slam2d_tpu.grid.tiles import TileConfig, TileTable, required_tiles, tiled_init
+from slam2d_tpu.grid.window import blur_halo_cells
+from slam2d_tpu.match.correlative import build_search_space
+from slam2d_tpu.run.frontend_tiled import (
+    _np_between,
+    _np_compose,
+    _param_grid_cfg,
+    make_tiled_chunk_fn,
+    tiled_frontend_init,
+    tiled_window_cells,
+)
+from slam2d_tpu.run.full_slam import (
+    FullSLAMResult,
+    default_loop_matcher,
+    default_submap_grid,
+    make_loop_match_fn,
+    make_rebuild_fn,
+)
+from slam2d_tpu.grid.tiles import gather_region, scatter_region, world_to_cell_global
 
 
-def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None):
-    """Jitted: re-raycast up to `capacity` keyframe scans into a fresh grid."""
-    gcfg = grid_cfg or cfg.grid
+def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig, capacity: int):
+    """Jitted: re-integrate up to `capacity` keyframe scans into FRESH tiles
+    (coords table kept), refreshing the blurred-field tiles as well."""
+    win = tiled_window_cells(tcfg, cfg.sensor, cfg.matcher)
+    halo = blur_halo_cells(cfg.matcher, tcfg.resolution)
+    gparam = _param_grid_cfg(cfg, tcfg)
 
     @jax.jit
-    def rebuild(poses, scans, mask):
-        grid = make_grid(gcfg)
+    def rebuild(coords, poses, scans, mask):
+        grid = tiled_init(tcfg)._replace(coords=coords)
+        sgrid = tiled_init(tcfg)._replace(coords=coords + 0)
 
-        def body(g, inp):
+        def body(carry, inp):
+            grid, sgrid = carry
             p, r, m = inp
-            return (
-                integrate_scan(g, p, r, gcfg, cfg.sensor, enable=m),
-                None,
+            orc = world_to_cell_global(p[:2], tcfg) - win // 2
+            gw = gather_region(grid, tcfg, orc, win)
+            gw = integrate_scan(
+                gw, p, r, gparam, cfg.sensor, enable=m,
+                origin_xy=(
+                    tcfg.origin_x + orc[1].astype(jnp.float32) * tcfg.resolution,
+                    tcfg.origin_y + orc[0].astype(jnp.float32) * tcfg.resolution,
+                ),
             )
+            grid = scatter_region(grid, tcfg, gw, orc)
+            Sw = build_search_space(gw, cfg.matcher, tcfg.resolution)
+            sgrid = scatter_region(
+                sgrid, tcfg, Sw[halo:-halo, halo:-halo], orc + halo
+            )
+            return (grid, sgrid), None
 
-        grid, _ = jax.lax.scan(
-            body, grid, (poses, scans, mask.astype(jnp.float32))
+        (grid, sgrid), _ = jax.lax.scan(
+            body, (grid, sgrid), (poses, scans, mask.astype(jnp.float32))
         )
-        return grid
+        return grid, sgrid
 
     return rebuild
 
 
-def default_submap_grid(cfg: FrontendConfig) -> "GridConfig":
-    """Small zero-centered grid for keyframe-RELATIVE submaps: covers the
-    sensor reach plus the loop search radius around the anchor keyframe."""
-    import dataclasses
-    import math
-
-    half_m = cfg.sensor.max_range * 2.0 + 4.0
-    size = int(math.ceil(2 * half_m / cfg.grid.resolution / 128)) * 128
-    return dataclasses.replace(
-        cfg.grid, height=size, width=size, center_x=0.0, center_y=0.0
-    )
-
-
-def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cfg=None):
-    """Jitted wide-window match of a scan against a (sub)map."""
-    gcfg = grid_cfg or cfg.grid
-
-    @jax.jit
-    def loop_match(grid, ranges, prior):
-        return match_scan(grid, ranges, prior, gcfg, loop_matcher, cfg.sensor)
-
-    return loop_match
-
-
-class FullSLAMResult(NamedTuple):
-    traj: np.ndarray          # [T, 3] per-scan trajectory (post-corrections)
-    kf_poses: np.ndarray      # [K, 3] final keyframe poses
-    kf_scan_idx: np.ndarray   # [K] scan index of each keyframe
-    n_loops: int
-    grid: jax.Array           # final [H, W] log-odds map
-    chi2: float
-    # accepted loop records: (i, j, score, zx, zy, ztheta) per loop
-    loops: np.ndarray = np.zeros((0, 6), np.float32)
-
-
-def default_loop_matcher(graph_cfg: GraphConfig) -> MatcherConfig:
-    return MatcherConfig(
-        search_xy=graph_cfg.loop_radius / 2.0,
-        search_theta=0.5,
-        n_theta=41,
-        coarse_factor=8,
-        prior_xy_weight=0.0,       # loop search must not be pulled to the prior
-        prior_theta_weight=0.0,
-        min_score=0.0,
-    )
-
-
-def run_full_slam(
+def run_full_slam_tiled(
     log: dict,
     cfg: FrontendConfig,
+    tcfg: TileConfig,
     graph_cfg: GraphConfig,
     loop_matcher: MatcherConfig | None = None,
     submap_halfwidth: int = 3,
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
+    drift_margin: float = 2.0,
 ):
-    """Run config-5 SLAM over a host-side log. Returns FullSLAMResult."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
-
     odom_np = np.asarray(log["odom"], np.float32)
     ranges_np = np.asarray(log["ranges"], np.float32)
     T = len(odom_np)
     K = cfg.chunk
 
-    chunk_fn = make_chunk_fn(cfg)
-    rebuild = make_rebuild_fn(cfg, graph_cfg.max_nodes)
-    # submaps are built in the ANCHOR KEYFRAME's frame on a small
-    # zero-centered grid — independent of world extent, so the same jitted
-    # functions serve bounded and tiled/unbounded worlds
+    chunk_fn = make_tiled_chunk_fn(cfg, tcfg)
     submap_cfg = default_submap_grid(cfg)
     rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
     loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
+    rebuild_tiles = make_tiled_rebuild_fn(cfg, tcfg, graph_cfg.max_nodes)
 
-    state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
+    state = tiled_frontend_init(tcfg, start_pose=odom_np[0], start_odom=odom_np[0])
+    table = TileTable(tcfg)
     graph = se2_graph.graph_init(graph_cfg)
+    reach = (
+        cfg.sensor.max_range + cfg.matcher.search_xy
+        + blur_halo_cells(cfg.matcher, tcfg.resolution) * tcfg.resolution
+        + drift_margin
+    )
 
-    # host-side keyframe store
     kf_poses: list[np.ndarray] = []
     kf_scans: list[np.ndarray] = []
     kf_scan_idx: list[int] = []
@@ -153,14 +129,11 @@ def run_full_slam(
                 se2.between(jnp.asarray(kf_poses[k - 1]), jnp.asarray(pose))
             )
             graph = se2_graph.add_edge(
-                graph, k - 1, k, jnp.asarray(z),
-                jnp.eye(3) * odom_edge_info,
+                graph, k - 1, k, jnp.asarray(z), jnp.eye(3) * odom_edge_info
             )
         return k
 
     def find_loop(k_new: int):
-        """Spatial gate: nearest old keyframe within loop_radius, index gap
-        >= loop_min_gap. Returns candidate index or None."""
         if k_new < graph_cfg.loop_min_gap:
             return None
         p = kf_poses[k_new]
@@ -174,9 +147,6 @@ def run_full_slam(
         i = find_loop(k_new)
         if i is None:
             return False
-        # submap from keyframe i's neighborhood, built in KEYFRAME i's
-        # frame (poses relative to i, grid centered at 0): the matched pose
-        # of the current scan in that frame IS the loop measurement z_ij
         lo = max(0, i - submap_halfwidth)
         hi = min(len(kf_poses), i + submap_halfwidth + 1)
         Kmax = graph_cfg.max_nodes
@@ -201,14 +171,12 @@ def run_full_slam(
         )
         if float(score) < graph_cfg.loop_score_accept:
             return False
-        # plausibility gate: correction implied on the current estimate
         corr = np.asarray(se2.between(prior_rel, matched_rel))
         if (
             np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
             or abs(corr[2]) > graph_cfg.loop_max_correction_theta
         ):
             return False
-        matched = se2.compose(anchor, matched_rel)
         z = np.asarray(matched_rel)
         graph = se2_graph.add_edge(
             graph, i, k_new, jnp.asarray(z), jnp.eye(3) * loop_edge_info
@@ -216,38 +184,37 @@ def run_full_slam(
         loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
         n_loops += 1
 
-        # optimize + apply corrections
         graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)
         corrected = np.asarray(graph.poses[: len(kf_poses)])
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
-        # patch the live frontend: pose rides with the last keyframe
         last = jnp.asarray(kf_poses[-1])
         delta = se2.between(prior, state.pose)
         new_pose = se2.compose(last, delta)
-        # rebuild the global map from all (corrected) keyframes
-        poses_buf = np.zeros((Kmax, 3), np.float32)
+
+        # activate tiles for corrected keyframes, rebuild both tile sets
+        need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
+        grid = table.activate(state.grid, need)
+        nk = len(kf_poses)
+        poses_buf2 = np.zeros((Kmax, 3), np.float32)
         scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
         mask_buf2 = np.zeros(Kmax, np.float32)
-        nk = len(kf_poses)
-        poses_buf[:nk] = np.stack(kf_poses)
+        poses_buf2[:nk] = np.stack(kf_poses)
         scans_buf2[:nk] = np.stack(kf_scans)
         mask_buf2[:nk] = 1.0
-        new_grid = rebuild(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf2), jnp.asarray(mask_buf2)
+        new_grid, new_sgrid = rebuild_tiles(
+            grid.coords, jnp.asarray(poses_buf2), jnp.asarray(scans_buf2),
+            jnp.asarray(mask_buf2),
         )
         state = state._replace(
-            logodds=new_grid,
-            search_space=build_search_space(
-                new_grid, cfg.matcher, cfg.grid.resolution
-            ),
+            grid=new_grid,
+            sgrid=new_sgrid,
             pose=new_pose,
             last_map_pose=new_pose + 0.0,
         )
         return True
 
-    # ---- main host loop over chunks ---------------------------------------
     last_kf_pose = None
     cooldown = 0
     for s0 in range(0, T, K):
@@ -257,12 +224,23 @@ def run_full_slam(
             pad = K - len(o)
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+
+        # tile activation forecast for this chunk
+        est = np.asarray(state.pose)
+        base = np.asarray(state.prev_odom)
+        fx = [
+            _np_compose(est, _np_between(base, o[t]))[:2] for t in range(len(o))
+        ]
+        need = required_tiles(np.asarray(fx), reach, tcfg)
+        grid = table.activate(state.grid, need)
+        sgrid = state.sgrid._replace(coords=grid.coords + 0)
+        state = state._replace(grid=grid, sgrid=sgrid)
+
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
         tr = np.asarray(tr)
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
 
-        # keyframe admission over this chunk
         for t in range(n_here):
             scan_i = s0 + t
             pose = tr[t]
@@ -271,9 +249,7 @@ def run_full_slam(
                 admit_keyframe(pose, scan_i)
                 continue
             moved = np.hypot(*(pose[:2] - last_kf_pose[:2]))
-            rot = abs(
-                (pose[2] - last_kf_pose[2] + np.pi) % (2 * np.pi) - np.pi
-            )
+            rot = abs((pose[2] - last_kf_pose[2] + np.pi) % (2 * np.pi) - np.pi)
             if moved >= graph_cfg.keyframe_dist or rot >= graph_cfg.keyframe_angle:
                 if len(kf_poses) >= graph_cfg.max_nodes - 1:
                     continue
@@ -289,7 +265,7 @@ def run_full_slam(
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
         kf_scan_idx=np.asarray(kf_scan_idx, np.int64),
         n_loops=n_loops,
-        grid=state.logodds,
+        grid=state.grid.tiles,
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
     )
