@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
-from slam2d_tpu.grid.window import extract_window, scan_window_cells
+from slam2d_tpu.grid.window import extract_window, scan_window_cells, write_window
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
@@ -45,6 +45,38 @@ def _windowed_match(grid, ranges, prior, cfg: FrontendConfig):
         grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor,
         search_space=Sw, origin_xy=origin,
     )
+
+
+def _windowed_update(grid, pose, ranges, cfg: FrontendConfig, enable=1.0):
+    """Per-particle map update restricted to the scan's static window
+    (the scatter cost scales with the target array size on TPU)."""
+    win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    if win >= min(cfg.grid.height, cfg.grid.width):
+        return integrate_scan(grid, pose, ranges, cfg.grid, cfg.sensor, enable=enable)
+    center = world_to_cell(pose[:2], cfg.grid)
+    gw, orc = extract_window(grid, center, win)
+    origin = (
+        cfg.grid.origin_x + orc[1].astype(jnp.float32) * cfg.grid.resolution,
+        cfg.grid.origin_y + orc[0].astype(jnp.float32) * cfg.grid.resolution,
+    )
+    gw = integrate_scan(
+        gw, pose, ranges, cfg.grid, cfg.sensor, enable=enable, origin_xy=origin
+    )
+    return write_window(grid, gw, orc)
+
+
+def _resample_copy(stacked, ancestors):
+    """Copy ancestor rows of a [P, ...] tensor as a 0/1 one-hot matmul —
+    XLA lowers a plain axis-0 gather of big rows to a slow general gather
+    on TPU, while the equivalent masked matmul runs on the MXU exactly
+    (the mask is 0/1, f32 accumulate)."""
+    P = stacked.shape[0]
+    onehot = (
+        ancestors[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    flat = stacked.reshape(P, -1)
+    out = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
+    return out.reshape(stacked.shape)
 
 
 class PFState(NamedTuple):
@@ -154,7 +186,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
 
     def update_branch(_):
         return jax.vmap(
-            lambda g, p: integrate_scan(g, p, ranges, cfg.grid, cfg.sensor)
+            lambda g, p: _windowed_update(g, p, ranges, cfg)
         )(state.logodds, poses)
 
     logodds = jax.lax.cond(
@@ -171,7 +203,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
         u = jax.random.uniform(k_resample)
         ancestors = systematic_ancestors(log_w, u)
         return (
-            logodds[ancestors],
+            _resample_copy(logodds, ancestors),
             poses[ancestors],
             jnp.full((P,), -jnp.log(P), log_w.dtype),
         )

@@ -32,11 +32,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import integrate_scan
 from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import (
     PFState,
     _windowed_match,
+    _windowed_update,
     fastslam_init,
     systematic_ancestors,
 )
@@ -125,9 +125,8 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         since = state.since_update + step_len
         do_update = in_boot | (since >= cfg.map_update_min_motion)
         logodds = jax.vmap(
-            lambda g, p: integrate_scan(
-                g, p, ranges, cfg.grid, cfg.sensor,
-                enable=do_update.astype(jnp.float32),
+            lambda g, p: _windowed_update(
+                g, p, ranges, cfg, enable=do_update.astype(jnp.float32)
             )
         )(state.logodds, poses)
         since = jnp.where(do_update, 0.0, since)
