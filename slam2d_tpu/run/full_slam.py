@@ -111,8 +111,12 @@ def run_full_slam(
     submap_halfwidth: int = 3,
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
+    optimizer: str = "dense",
 ):
-    """Run config-5 SLAM over a host-side log. Returns FullSLAMResult."""
+    """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
+
+    optimizer: "dense" (one Cholesky over all keyframes) or "schur"
+    (block-eliminated — the form that scales/distributes)."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
 
     odom_np = np.asarray(log["odom"], np.float32)
@@ -217,7 +221,12 @@ def run_full_slam(
         n_loops += 1
 
         # optimize + apply corrections
-        graph, chi = se2_graph.optimize(graph, graph_cfg)
+        if optimizer == "schur":
+            from slam2d_tpu.graph.schur import optimize_schur
+
+            graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+        else:
+            graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)
         corrected = np.asarray(graph.poses[: len(kf_poses)])
         for k in range(len(kf_poses)):
