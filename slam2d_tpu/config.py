@@ -91,6 +91,9 @@ class MatcherConfig:
     # TPU), "gather" = direct XLA gather (fast enough on CPU), "auto" =
     # pick by backend at trace time.
     score_impl: str = "auto"
+    # bf16 operands (f32 accumulate) in the MXU scorer; ~2x matmul rate,
+    # score noise ~0.1% of range.
+    score_bf16: bool = True
     occ_threshold: float = 0.5        # p(cell) above this counts as occupied
     occ_evidence_sat: float = 2.0     # log-odds at which a cell counts as a full wall
     free_threshold: float = 0.45      # p(cell) below this counts as known-free
@@ -147,6 +150,13 @@ class GraphConfig:
     # Skip loop attempts for this many keyframes after an accepted loop
     # (consecutive keyframes re-close the same loop with little new info).
     loop_cooldown: int = 3
+    # Peak-dominance gate: reject loops whose coarse score surface has a
+    # second peak (outside 0.5 m of the best) within this margin of the
+    # best — aliased corridor matches show near-equal peaks (calibrated:
+    # ambiguous ~0.03, unique >= 0.13). Complements (does NOT replace) the
+    # magnitude gate: a true peak OUTSIDE the search window still leaves a
+    # clean-looking aliased surface. 0 disables.
+    loop_min_peak_margin: float = 0.05
     damping: float = 1e-6             # Levenberg damping on H diagonal
 
 

@@ -95,6 +95,7 @@ def score_offsets(
     origin_xy,
     bilinear: bool = False,
     impl: str = "gather",
+    use_bf16: bool = True,
 ):
     """Score every (dtheta, drow, dcol) candidate around prior_pose.
 
@@ -132,6 +133,7 @@ def score_offsets(
             score_offsets_mxu(
                 S, pos_row, pos_col, valid,
                 R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
+                use_bf16=use_bf16,
             )
             / denom
         )
@@ -178,6 +180,61 @@ def _argmax3(scores):
     t = flat_idx // (R * C)
     rc = flat_idx % (R * C)
     return t, rc // C, rc % C
+
+
+def peak_uniqueness(
+    logodds,
+    ranges,
+    prior_pose,
+    gcfg: GridConfig,
+    mcfg: MatcherConfig,
+    sensor: SensorConfig,
+    excl_m: float = 0.5,
+    search_space=None,
+    origin_xy=None,
+):
+    """Peak-dominance diagnostic for (loop-closure) matches.
+
+    Scores the coarse search window and returns best - second_best, where
+    second_best excludes translations within excl_m of the argmax (any
+    theta). Corridor/lattice-aliased matches show several near-equal peaks
+    and a small margin; genuinely unique alignments a large one.
+    """
+    S = (
+        build_search_space(logodds, mcfg, gcfg.resolution)
+        if search_space is None
+        else search_space
+    )
+    f = mcfg.coarse_factor
+    Sc = coarse_space(S, f)
+    pts_local, valid = scan_endpoints_local(ranges, sensor)
+    if origin_xy is None:
+        origin = jnp.asarray([gcfg.origin_x, gcfg.origin_y], dtype=jnp.float32)
+    else:
+        origin = jnp.stack(
+            [jnp.asarray(origin_xy[0], jnp.float32),
+             jnp.asarray(origin_xy[1], jnp.float32)]
+        )
+    dthetas = jnp.asarray(
+        np.linspace(-mcfg.search_theta, mcfg.search_theta, mcfg.n_theta),
+        dtype=jnp.float32,
+    )
+    r_coarse = int(math.ceil(int(round(mcfg.search_xy / gcfg.resolution)) / f))
+    off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
+    impl = _resolve_impl(mcfg.score_impl)
+    sc = score_offsets(
+        Sc, prior_pose, pts_local, valid, dthetas, off, off,
+        gcfg.resolution * f, origin, impl=impl, use_bf16=mcfg.score_bf16,
+    )
+    t, r, c = _argmax3(sc)
+    best = sc[t, r, c]
+    excl = int(math.ceil(excl_m / (gcfg.resolution * f)))
+    far = (
+        (jnp.abs(off[None, :, None] - off[r]) > excl)
+        | (jnp.abs(off[None, None, :] - off[c]) > excl)
+    )
+    second = jnp.max(jnp.where(far, sc, -jnp.inf))
+    return best - second
 
 
 def match_scan(
@@ -237,7 +294,7 @@ def match_scan(
     impl = _resolve_impl(mcfg.score_impl)
     sc = score_offsets(
         Sc, prior_pose, pts_local, valid, dthetas, coarse_off, coarse_off,
-        cs, origin, impl=impl,
+        cs, origin, impl=impl, use_bf16=mcfg.score_bf16,
     )
     off_m = coarse_off.astype(jnp.float32) * cs
     sc = sc - penalty(off_m, off_m, dthetas)
@@ -252,7 +309,7 @@ def match_scan(
     fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
     sf = score_offsets(
         S, prior2, pts_local, valid, dthetas, fine_off, fine_off,
-        gcfg.resolution, origin, bilinear=True, impl=impl,
+        gcfg.resolution, origin, bilinear=True, impl=impl, use_bf16=mcfg.score_bf16,
     )
     fine_m = fine_off.astype(jnp.float32) * gcfg.resolution
     sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dthetas)

@@ -29,7 +29,11 @@ from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
 from slam2d_tpu.grid.occupancy import make_grid, integrate_scan
-from slam2d_tpu.match.correlative import build_search_space, match_scan
+from slam2d_tpu.match.correlative import (
+    build_search_space,
+    match_scan,
+    peak_uniqueness,
+)
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
 
@@ -70,12 +74,19 @@ def default_submap_grid(cfg: FrontendConfig) -> "GridConfig":
 
 
 def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cfg=None):
-    """Jitted wide-window match of a scan against a (sub)map."""
+    """Jitted wide-window match of a scan against a (sub)map.
+
+    Returns (pose, score, peak_margin): the margin is the coarse-surface
+    peak-dominance diagnostic (see match/correlative.peak_uniqueness)."""
     gcfg = grid_cfg or cfg.grid
 
     @jax.jit
     def loop_match(grid, ranges, prior):
-        return match_scan(grid, ranges, prior, gcfg, loop_matcher, cfg.sensor)
+        pose, score = match_scan(grid, ranges, prior, gcfg, loop_matcher, cfg.sensor)
+        margin = peak_uniqueness(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor
+        )
+        return pose, score, margin
 
     return loop_match
 
@@ -200,10 +211,12 @@ def run_full_slam(
         )
         prior = jnp.asarray(kf_poses[k_new])
         prior_rel = se2.between(anchor, prior)
-        matched_rel, score = loop_match(
+        matched_rel, score, margin = loop_match(
             submap, jnp.asarray(ranges_np[scan_i]), prior_rel
         )
         if float(score) < graph_cfg.loop_score_accept:
+            return False
+        if float(margin) < graph_cfg.loop_min_peak_margin:
             return False
         # plausibility gate: correction implied on the current estimate
         corr = np.asarray(se2.between(prior_rel, matched_rel))

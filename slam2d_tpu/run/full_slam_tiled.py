@@ -166,10 +166,12 @@ def run_full_slam_tiled(
         )
         prior = jnp.asarray(kf_poses[k_new])
         prior_rel = se2.between(anchor, prior)
-        matched_rel, score = loop_match(
+        matched_rel, score, margin = loop_match(
             submap, jnp.asarray(ranges_np[scan_i]), prior_rel
         )
         if float(score) < graph_cfg.loop_score_accept:
+            return False
+        if float(margin) < graph_cfg.loop_min_peak_margin:
             return False
         corr = np.asarray(se2.between(prior_rel, matched_rel))
         if (
