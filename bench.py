@@ -42,6 +42,7 @@ def main():
         ),
         matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
         chunk=64,
+        match_min_motion=0.25,   # fine-res tuning (see FrontendConfig note)
     )
 
     world = SynthWorld.box_rooms(20.0)

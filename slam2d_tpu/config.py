@@ -185,5 +185,9 @@ class FrontendConfig:
     # dead-reckoned from odometry. High-rate logs otherwise give the
     # per-match backward drag (see bootstrap_dist) more opportunities per
     # meter of travel, and matching a barely-moved scan adds no information.
+    # (Tune per dataset: on the noisy fine-res (0.05 m) bench trajectory,
+    # 0.25 m measured ~2x better ATE than 0.15 m — each match is slightly
+    # biased toward the map's newest content, so fewer matches per meter
+    # drift less there — while the 0.1 m-res scenarios prefer 0.15.)
     match_min_motion: float = 0.15
     match_min_rot: float = 0.10
