@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="slam2d_tpu", description=__doc__)
     p.add_argument("--mode", choices=["frontend", "fastslam", "full"],
                    default="frontend")
+    p.add_argument("--tiled", action="store_true",
+                   help="unbounded tiled world map (frontend/full modes)")
+    p.add_argument("--tile-size", type=int, default=512)
+    p.add_argument("--tile-slots", type=int, default=64)
+    p.add_argument("--schur", action="store_true",
+                   help="block-Schur pose-graph optimizer (full mode)")
     p.add_argument("--log", required=True,
                    help="CARMEN .log/.clf, preprocessed .json, or 'synth'")
     p.add_argument("--out", default=None, help="output directory")
@@ -115,9 +121,25 @@ def main(argv=None) -> int:
         s0, s1 = args.scan_range
         log = {k: v[s0:s1] for k, v in log.items()}
 
+    def tile_cfg():
+        from slam2d_tpu.grid.tiles import TileConfig
+
+        return TileConfig(
+            tile=args.tile_size, n_slots=args.tile_slots,
+            resolution=args.resolution,
+        )
+
     t0 = time.perf_counter()
     extra: dict = {}
-    if args.mode == "frontend":
+    viz_grid_cfg = cfg.grid
+    if args.mode == "frontend" and args.tiled:
+        from slam2d_tpu.run.frontend_tiled import run_tiled_frontend
+
+        state, traj, scores = run_tiled_frontend(log, cfg, tile_cfg())
+        grid = state.grid.tiles
+        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+        extra["tiled"] = True
+    elif args.mode == "frontend":
         from slam2d_tpu.run.frontend import frontend_init, run_frontend
 
         init_state = None
@@ -153,10 +175,17 @@ def main(argv=None) -> int:
             grid = state.logodds[best]
         extra["mean_n_eff"] = float(np.mean(n_eff))
     else:  # full
-        from slam2d_tpu.run.full_slam import run_full_slam
-
         gcfg = GraphConfig()
-        res = run_full_slam(log, cfg, gcfg)
+        optimizer = "schur" if args.schur else "dense"
+        if args.tiled:
+            from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
+
+            res = run_full_slam_tiled(log, cfg, tile_cfg(), gcfg)
+            extra["tiled"] = True
+        else:
+            from slam2d_tpu.run.full_slam import run_full_slam
+
+            res = run_full_slam(log, cfg, gcfg, optimizer=optimizer)
         traj, grid = res.traj, res.grid
         extra["n_loops"] = res.n_loops
         extra["n_keyframes"] = len(res.kf_poses)
@@ -182,7 +211,7 @@ def main(argv=None) -> int:
         os.makedirs(args.out, exist_ok=True)
         np.save(os.path.join(args.out, "trajectory.npy"), traj)
         np.save(os.path.join(args.out, "map_logodds.npy"), np.asarray(grid))
-        if args.save_viz:
+        if args.save_viz and np.asarray(grid).ndim == 2:
             from slam2d_tpu.viz import save_map_png
 
             save_map_png(
@@ -192,6 +221,11 @@ def main(argv=None) -> int:
             )
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
+        from slam2d_tpu.utils.metrics_logger import MetricsLogger
+
+        with MetricsLogger(args.out, tensorboard=False) as ml:
+            ml.log(0, **{k: v for k, v in metrics.items()
+                         if isinstance(v, (int, float))})
 
     print(json.dumps(metrics))
     return 0
