@@ -149,7 +149,10 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     delta = se2.between(state.prev_odom, odom)
     step_len = jnp.hypot(delta[0], delta[1])
     in_boot = state.dist < cfg.bootstrap_dist
-    since_m = state.since_match + step_len
+    rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+        cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+    )
+    since_m = state.since_match + step_len + rot_equiv
     do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
 
     def refine_branch(_):

@@ -107,7 +107,10 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         )(state.logodds, priors)
 
         in_boot = state.dist < cfg.bootstrap_dist
-        since_m = state.since_match + step_len
+        rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+            cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+        )
+        since_m = state.since_match + step_len + rot_equiv
         do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
         # boot: noisy propagation for diversity; between refinements:
         # noiseless dead-reckoning; refinement: matched pose
