@@ -137,6 +137,58 @@ def _wrap(a):
     return (a + np.pi) % (2 * np.pi) - np.pi
 
 
+def corridor_world(span: float = 60.0, width: float = 3.0) -> SynthWorld:
+    """MIT-Killian-style world: a large rectangular loop of corridors with
+    cross-connections and door alcoves (structure along every wall so the
+    matcher has features in both axes)."""
+    s, w = span, width
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend(
+            [(x0, y0, x1, y0), (x1, y0, x1, y1), (x1, y1, x0, y1), (x0, y1, x0, y0)]
+        )
+
+    # outer boundary and inner block => a ring corridor of width w
+    box(0, 0, s, s)
+    box(w, w, s - w, s - w)
+    # alcoves / doorframes along the inner block (feature texture)
+    import numpy as _np
+
+    for t in _np.arange(2 * w, s - 2 * w, 6.0):
+        segs.append((t, w, t, w + 0.4))
+        segs.append((w, t, w + 0.4, t))
+        segs.append((t + 3.0, s - w, t + 3.0, s - w - 0.4))
+        segs.append((s - w, t + 3.0, s - w - 0.4, t + 3.0))
+    # a few pillars in the outer boundary walls
+    for t in _np.arange(4.0, s - 4.0, 8.0):
+        segs.append((t, 0.0, t, 0.3))
+        segs.append((0.0, t, 0.3, t))
+        segs.append((t, s, t, s - 0.3))
+        segs.append((s, t, s - 0.3, t))
+    return SynthWorld(np.asarray(segs, dtype=np.float64))
+
+
+def corridor_loop_log(
+    sensor: SensorConfig | None = None,
+    span: float = 60.0,
+    step: float = 0.2,
+    seed: int = 0,
+    **noise,
+):
+    """A full lap around the ring corridor (closes a big loop at the end)."""
+    sensor = sensor or SensorConfig()
+    world = corridor_world(span)
+    m = 1.5  # corridor centerline offset
+    wp = np.asarray(
+        [
+            [m, m], [m, span - m], [span - m, span - m],
+            [span - m, m], [m + 0.5, m],
+        ]
+    )
+    return world, simulate_log(world, wp, sensor, step=step, seed=seed, **noise)
+
+
 def default_log(sensor: SensorConfig | None = None, step: float = 0.1, seed: int = 0):
     """A ~20x20 m loopy trajectory through the box-rooms world."""
     sensor = sensor or SensorConfig()

@@ -122,6 +122,31 @@ class TileTable:
         return grid
 
 
+def stitch_tiles(grid: TiledGrid, cfg: TileConfig):
+    """HOST helper: assemble all active tiles into one dense array for
+    rendering/export. Returns (dense [H, W] np.ndarray, origin_xy)."""
+    coords = np.asarray(grid.coords[:-1])
+    tiles = np.asarray(grid.tiles[:-1])
+    active = coords[:, 0] > FREE_SLOT
+    if not active.any():
+        return np.zeros((cfg.tile, cfg.tile), np.float32), (cfg.origin_x, cfg.origin_y)
+    rc = coords[active]
+    r0, c0 = rc[:, 0].min(), rc[:, 1].min()
+    r1, c1 = rc[:, 0].max() + 1, rc[:, 1].max() + 1
+    H = int(r1 - r0) * cfg.tile
+    W = int(c1 - c0) * cfg.tile
+    dense = np.zeros((H, W), np.float32)
+    for k in np.flatnonzero(active):
+        rr = int(coords[k, 0] - r0) * cfg.tile
+        cc = int(coords[k, 1] - c0) * cfg.tile
+        dense[rr : rr + cfg.tile, cc : cc + cfg.tile] = tiles[k]
+    origin = (
+        cfg.origin_x + int(c0) * cfg.tile * cfg.resolution,
+        cfg.origin_y + int(r0) * cfg.tile * cfg.resolution,
+    )
+    return dense, origin
+
+
 def _span_candidates(origin_rc, size: int, tile: int):
     """Static-count candidate tile indices covering a window: per axis the
     window spans at most ceil(size/tile)+1 tiles."""

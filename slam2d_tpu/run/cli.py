@@ -187,6 +187,8 @@ def main(argv=None) -> int:
 
             res = run_full_slam(log, cfg, gcfg, optimizer=optimizer)
         traj, grid = res.traj, res.grid
+        if args.tiled:
+            grid = res.grid.tiles   # [N, th, tw] slot pool for .npy export
         extra["n_loops"] = res.n_loops
         extra["n_keyframes"] = len(res.kf_poses)
         extra["chi2"] = res.chi2

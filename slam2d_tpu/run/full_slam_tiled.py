@@ -267,7 +267,7 @@ def run_full_slam_tiled(
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
         kf_scan_idx=np.asarray(kf_scan_idx, np.int64),
         n_loops=n_loops,
-        grid=state.grid.tiles,
+        grid=state.grid,   # the TiledGrid (stitch with grid.tiles.stitch_tiles)
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
     )

@@ -61,3 +61,19 @@ def save_map_png(path: str, logodds, gcfg: GridConfig, **kw) -> str:
 
     plt.close(fig)
     return path
+
+
+def save_tiled_map_png(path: str, tiled_grid, tcfg, **kw) -> str:
+    """Stitch an unbounded tiled map's active tiles and render them."""
+    import dataclasses
+
+    from slam2d_tpu.grid.tiles import stitch_tiles
+
+    dense, (ox, oy) = stitch_tiles(tiled_grid, tcfg)
+    H, W = dense.shape
+    gcfg = GridConfig(
+        height=H, width=W, resolution=tcfg.resolution,
+        center_x=ox + (W // 2) * tcfg.resolution,
+        center_y=oy + (H // 2) * tcfg.resolution,
+    )
+    return save_map_png(path, dense, gcfg, **kw)
