@@ -131,7 +131,6 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     extra: dict = {}
-    viz_grid_cfg = cfg.grid
     if args.mode == "frontend" and args.tiled:
         from slam2d_tpu.run.frontend_tiled import run_tiled_frontend
 
