@@ -138,6 +138,27 @@ def score_offsets(
             / denom
         )
 
+    if impl == "pallas":
+        # VMEM patch-accumulate kernel (contiguous offset ranges assumed)
+        import jax
+
+        from slam2d_tpu.ops.pallas_score import (
+            prep_patch_indices,
+            score_offsets_pallas,
+        )
+
+        R, C = drows.shape[0], dcols.shape[0]
+        pr = pos_row if bilinear else jnp.round(pos_row)
+        pc = pos_col if bilinear else jnp.round(pos_col)
+        rows, cols, wts = prep_patch_indices(pr, pc, valid, R, C, H, W)
+        return (
+            score_offsets_pallas(
+                S, rows, cols, wts, R, C,
+                interpret=jax.default_backend() != "tpu",
+            )
+            / denom
+        )
+
     flat = S.reshape(-1)
 
     def gather_sum(base_row, base_col, beam_w):

@@ -149,3 +149,15 @@ def test_cli_frontend_synth(tmp_path):
     assert metrics["ate_m"] < metrics["ate_odom_m"] * 1.5
     assert (out / "map.png").exists()
     assert (out / "trajectory.npy").exists()
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from slam2d_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    # a profile directory with at least one trace artifact appears
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files)
