@@ -28,12 +28,17 @@ def load_carmen_log(path: str):
     odom_theta ts host log_ts` — we take the odometry pose fields.
     """
     odoms, scans = [], []
+    n_beams = None
     with open(path) as f:
         for line in f:
             parts = line.split()
             if not parts or parts[0] != "FLASER":
                 continue
             n = int(parts[1])
+            if n_beams is None:
+                n_beams = n
+            if n != n_beams or len(parts) < 2 + n + 6:
+                continue  # malformed / mixed-beam-count rows are skipped
             ranges = [float(v) for v in parts[2 : 2 + n]]
             # fields after ranges: x y theta odom_x odom_y odom_theta ...
             ox, oy, oth = (float(v) for v in parts[2 + n + 3 : 2 + n + 6])

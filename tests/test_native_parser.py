@@ -45,3 +45,38 @@ def test_dispatcher_prefers_native(tmp_path):
     path = _make_log(tmp_path, rows=5)
     log = load_carmen_log(path)
     assert log["ranges"].shape == (5, 12)
+
+
+def test_native_fuzz_matches_python(tmp_path):
+    """Randomized CARMEN lines (varied spacing, exponents, negatives,
+    malformed rows) parse identically in C++ and Python."""
+    import numpy as np
+    import pytest
+
+    native = pytest.importorskip("slam2d_tpu.data.native")
+    if not native.native_available():
+        pytest.skip("native parser not buildable")
+
+    rng = np.random.default_rng(42)
+    lines = []
+    beams = 7
+    for t in range(200):
+        r = rng.uniform(0, 90, beams)
+        pose = rng.normal(0, 30, 6)
+        fmt = rng.choice(["%.3f", "%.6f", "%.1e", "%g"])
+        vals = " ".join(fmt % v for v in r)
+        ps = " ".join("%.8g" % v for v in pose)
+        lines.append(f"FLASER {beams} {vals} {ps} 1.0 host 1.0\n")
+        if t % 11 == 0:
+            lines.append("TRUEPOS 1 2 3 4 5 6 ts host lts\n")
+        if t % 17 == 0:
+            # wrong beam count row: both parsers must skip it
+            lines.append("FLASER 3 1.0 2.0 3.0 0 0 0 0 0 0 ts host lts\n")
+    p = tmp_path / "fuzz.clf"
+    p.write_text("".join(lines))
+
+    py = load_py(str(p))
+    nat = native.load_carmen_log_native(str(p))
+    assert nat["ranges"].shape == py["ranges"].shape
+    np.testing.assert_allclose(nat["odom"], py["odom"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(nat["ranges"], py["ranges"], rtol=1e-5, atol=1e-4)
