@@ -139,7 +139,26 @@ inline bool is_flaser(Cursor& c) {
 
 extern "C" {
 
-// First pass: count FLASER rows and read the beam count of the first one.
+namespace {
+
+// Does the row at `t` (positioned after "FLASER ") fully parse as a
+// positive beam count, that many ranges, and 6 pose fields?
+inline bool row_parses(Cursor t, long* nb_out) {
+  long nb;
+  if (!parse_long(t, &nb) || nb <= 0) return false;
+  for (long i = 0; i < nb + 6; ++i) {
+    double v;
+    if (!parse_double(t, &v)) return false;
+  }
+  *nb_out = nb;
+  return true;
+}
+
+}  // namespace
+
+// First pass: count FLASER rows; latch the beam count from the first row
+// that FULLY parses (a truncated or corrupt first row must not poison the
+// rest of the file — parity with the Python loader).
 int carmen_count(const char* path, int64_t* n_scans, int64_t* n_beams) {
   Mapped m = map_file(path);
   if (!m.ok()) return -1;
@@ -151,7 +170,7 @@ int carmen_count(const char* path, int64_t* n_scans, int64_t* n_beams) {
         Cursor t = c;
         t.p += 7;
         long nb;
-        if (parse_long(t, &nb) && nb > 0) beams = nb;
+        if (row_parses(t, &nb)) beams = nb;
       }
       ++rows;
     }

@@ -34,14 +34,22 @@ def load_carmen_log(path: str):
             parts = line.split()
             if not parts or parts[0] != "FLASER":
                 continue
-            n = int(parts[1])
-            if n_beams is None:
-                n_beams = n
-            if n != n_beams or len(parts) < 2 + n + 6:
-                continue  # malformed / mixed-beam-count rows are skipped
-            ranges = [float(v) for v in parts[2 : 2 + n]]
-            # fields after ranges: x y theta odom_x odom_y odom_theta ...
-            ox, oy, oth = (float(v) for v in parts[2 + n + 3 : 2 + n + 6])
+            # Any malformed row (bad count, short row, non-numeric field)
+            # is skipped — matching the C++ parser, which drops rows that
+            # fail numeric parsing. The beam count latches from the first
+            # VALID positive-count row only.
+            try:
+                n = int(parts[1])
+                if n <= 0 or len(parts) < 2 + n + 6:
+                    continue
+                if n_beams is not None and n != n_beams:
+                    continue
+                ranges = [float(v) for v in parts[2 : 2 + n]]
+                # after ranges: x y theta odom_x odom_y odom_theta ...
+                ox, oy, oth = (float(v) for v in parts[2 + n + 3 : 2 + n + 6])
+            except ValueError:
+                continue
+            n_beams = n
             odoms.append((ox, oy, oth))
             scans.append(ranges)
     if not scans:

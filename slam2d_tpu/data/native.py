@@ -81,4 +81,8 @@ def load_carmen_log_native(path: str):
     )
     if rows < 0:
         raise IOError(f"parse failed for {path}")
+    if rows == 0:
+        # parity with the Python loader: all rows malformed => error, not
+        # silently-empty arrays
+        raise ValueError(f"no parseable FLASER entries in {path}")
     return {"odom": odom[:rows], "ranges": ranges[:rows]}

@@ -48,18 +48,22 @@ def test_dispatcher_prefers_native(tmp_path):
 
 
 def test_native_fuzz_matches_python(tmp_path):
-    """Randomized CARMEN lines (varied spacing, exponents, negatives,
-    malformed rows) parse identically in C++ and Python."""
-    import numpy as np
-    import pytest
-
+    """Randomized + adversarial CARMEN lines parse identically in C++ and
+    Python: varied float formats, wrong beam counts, truncated rows,
+    non-numeric fields, zero/negative counts, and a CORRUPT FIRST ROW
+    (which must not poison the beam-count latch)."""
     native = pytest.importorskip("slam2d_tpu.data.native")
     if not native.native_available():
         pytest.skip("native parser not buildable")
 
     rng = np.random.default_rng(42)
-    lines = []
     beams = 7
+    lines = [
+        "FLASER 361 0.5\n",                       # truncated first row
+        "FLASER 0 1 2 3 4 5 6 ts host lts\n",     # zero beam count
+        "FLASER -3 1 2 3 4 5 6 7 8 9 ts h l\n",   # negative beam count
+        "FLASER seven 1 2 3 4 5 6 ts host lts\n", # non-numeric count
+    ]
     for t in range(200):
         r = rng.uniform(0, 90, beams)
         pose = rng.normal(0, 30, 6)
@@ -72,11 +76,28 @@ def test_native_fuzz_matches_python(tmp_path):
         if t % 17 == 0:
             # wrong beam count row: both parsers must skip it
             lines.append("FLASER 3 1.0 2.0 3.0 0 0 0 0 0 0 ts host lts\n")
+        if t % 23 == 0:
+            # right count, non-numeric range field: both must skip
+            bad = vals.replace(vals.split()[2], "oops", 1)
+            lines.append(f"FLASER {beams} {bad} {ps} 1.0 host 1.0\n")
     p = tmp_path / "fuzz.clf"
     p.write_text("".join(lines))
 
     py = load_py(str(p))
     nat = native.load_carmen_log_native(str(p))
+    assert py["ranges"].shape == (200, beams)
     assert nat["ranges"].shape == py["ranges"].shape
     np.testing.assert_allclose(nat["odom"], py["odom"], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(nat["ranges"], py["ranges"], rtol=1e-5, atol=1e-4)
+
+
+def test_both_parsers_error_on_unparseable_log(tmp_path):
+    native = pytest.importorskip("slam2d_tpu.data.native")
+    if not native.native_available():
+        pytest.skip("native parser not buildable")
+    p = tmp_path / "bad.clf"
+    p.write_text("FLASER 5 a b c d e 1 2 3 4 5 6 ts h l\n")
+    with pytest.raises(ValueError):
+        load_py(str(p))
+    with pytest.raises(ValueError):
+        native.load_carmen_log_native(str(p))
