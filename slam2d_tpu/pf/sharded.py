@@ -13,9 +13,10 @@ mesh axis. Per-scan collectives:
   MXU matmul). After n_shards hops every output slot holds its ancestor's
   map. Peak memory stays at ONE local block (no [P, H, W] all_gather), the
   per-hop matmul rides the MXU, and the ppermute traffic rides ICI neighbor
-  links — the canonical TPU ring-collective shape. The ring runs every step
-  (identity pattern when the N_eff trigger did not fire); gating it behind
-  the trigger via host-chunked control is a planned optimization.
+  links — the canonical TPU ring-collective shape. The whole ring sits
+  behind a `lax.cond` on the N_eff trigger: the predicate comes from psum'd
+  quantities, so every shard takes the same branch and the collective is
+  SPMD-safe — non-resampling steps pay nothing.
 
 RNG: every shard holds the same key; per-particle proposal noise comes from
 folding the shard index in, the resampling uniform uses the shared key so
@@ -148,28 +149,35 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         poses_all = jax.lax.all_gather(poses, axis, tiled=True)  # [P, 3]
         poses_new = poses_all[idx]
 
-        # maps are big: ring exchange. After k hops this shard holds the
-        # block that started on shard (me - k) mod n; pick matching rows.
+        # Maps are big: ring exchange over ppermute, but ONLY when the
+        # N_eff trigger fired. The predicate is identical on every shard
+        # (derived from psum'd quantities), so gating the collective with
+        # lax.cond is SPMD-safe: all shards take the same branch.
         H, W = cfg.grid.height, cfg.grid.width
         maps_flat = logodds.reshape(Pl, H * W)
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-        def ring_body(k, carry):
-            blk, out = carry
-            src_shard = jnp.mod(shard - k, n_shards)
-            gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
-            mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
-            out = out + jnp.dot(
-                mask, blk, preferred_element_type=jnp.float32
-            )
-            blk = jax.lax.ppermute(blk, axis, perm)
-            return blk, out
+        def ring_exchange(maps_flat):
+            def ring_body(k, carry):
+                blk, out = carry
+                src_shard = jnp.mod(shard - k, n_shards)
+                gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
+                mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
+                out = out + jnp.dot(
+                    mask, blk, preferred_element_type=jnp.float32
+                )
+                blk = jax.lax.ppermute(blk, axis, perm)
+                return blk, out
 
-        _, maps_new = jax.lax.fori_loop(
-            0, n_shards, ring_body,
-            (maps_flat, jnp.zeros_like(maps_flat)),
-        )
-        maps_new = maps_new.reshape(Pl, H, W)
+            _, out = jax.lax.fori_loop(
+                0, n_shards, ring_body,
+                (maps_flat, jnp.zeros_like(maps_flat)),
+            )
+            return out
+
+        maps_new = jax.lax.cond(
+            do_resample, ring_exchange, lambda m: m, maps_flat
+        ).reshape(Pl, H, W)
 
         log_w_new = jnp.where(
             do_resample,
