@@ -123,6 +123,10 @@ class PFConfig:
     # Log-weight increment = sharpness * match score (score in [-pen, 1]);
     # controls how aggressively weights concentrate on good particles.
     weight_sharpness: float = 30.0
+    # Per-particle map storage dtype: "bfloat16" halves HBM and the
+    # bandwidth of updates/resampling rings (log-odds clamp at +-10 keeps
+    # bf16 ulp <= 0.06 — well under the +-0.4/0.85 increments).
+    map_dtype: str = "float32"
     # Per-particle refinement matcher window (smaller than frontend's).
     refine_xy: float = 0.30
     refine_theta: float = 0.10

@@ -230,8 +230,8 @@ def raycast_update_dense(
     upd = cfg.l_free * free.astype(jnp.float32) + cfg.l_occ * occ.astype(
         jnp.float32
     )
-    out = logodds + upd * enable
-    return jnp.clip(out, -cfg.l_clamp, cfg.l_clamp)
+    out = logodds.astype(jnp.float32) + upd * enable
+    return jnp.clip(out, -cfg.l_clamp, cfg.l_clamp).astype(logodds.dtype)
 
 
 def integrate_scan(

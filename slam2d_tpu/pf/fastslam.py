@@ -73,10 +73,10 @@ def _resample_copy(stacked, ancestors):
     P = stacked.shape[0]
     onehot = (
         ancestors[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)
+    ).astype(stacked.dtype)
     flat = stacked.reshape(P, -1)
     out = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
-    return out.reshape(stacked.shape)
+    return out.reshape(stacked.shape).astype(stacked.dtype)
 
 
 class PFState(NamedTuple):
@@ -97,8 +97,9 @@ def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
         else jnp.asarray(start_pose, jnp.float32)
     )
     P = pf.n_particles
+    map_dtype = jnp.dtype(pf.map_dtype)
     return PFState(
-        logodds=jnp.zeros((P, cfg.grid.height, cfg.grid.width), jnp.float32),
+        logodds=jnp.zeros((P, cfg.grid.height, cfg.grid.width), map_dtype),
         poses=jnp.tile(pose[None, :], (P, 1)),
         log_w=jnp.zeros(P, jnp.float32),
         prev_odom=pose + 0.0,

@@ -163,9 +163,11 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
                 src_shard = jnp.mod(shard - k, n_shards)
                 gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
                 mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
+                # each output row receives exactly ONE nonzero contribution
+                # across all hops, so accumulating in the map dtype is exact
                 out = out + jnp.dot(
                     mask, blk, preferred_element_type=jnp.float32
-                )
+                ).astype(maps_flat.dtype)
                 blk = jax.lax.ppermute(blk, axis, perm)
                 return blk, out
 
@@ -173,7 +175,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
                 0, n_shards, ring_body,
                 (maps_flat, jnp.zeros_like(maps_flat)),
             )
-            return out
+            return out.astype(maps_flat.dtype)
 
         maps_new = jax.lax.cond(
             do_resample, ring_exchange, lambda m: m, maps_flat
