@@ -127,6 +127,10 @@ class PFConfig:
     # bandwidth of updates/resampling rings (log-odds clamp at +-10 keeps
     # bf16 ulp <= 0.06 — well under the +-0.4/0.85 increments).
     map_dtype: str = "float32"
+    # Refine particles in chunks of this size via lax.map (0 = all at
+    # once). The MXU scorer materializes ~13 MB of one-hot operands per
+    # particle; at 1000+ particles an unchunked vmap exceeds HBM.
+    refine_chunk: int = 0
     # Per-particle refinement matcher window (smaller than frontend's).
     refine_xy: float = 0.30
     refine_theta: float = 0.10

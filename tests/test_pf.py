@@ -113,3 +113,21 @@ def test_fastslam_resamples_on_degenerate_weights():
     np.testing.assert_allclose(
         np.asarray(state2.log_w), -np.log(pf.n_particles), atol=1e-4
     )
+
+
+def test_refine_chunking_matches_unchunked():
+    """lax.map-chunked refinement == one-shot vmap (same RNG stream)."""
+    import dataclasses
+
+    cfg, pf = _pf_cfg()
+    pf_chunked = dataclasses.replace(pf, refine_chunk=4)
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0]])
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.2,
+        odom_noise_xy=0.012, odom_noise_theta=0.006, seed=11,
+    )
+    _, t_a, n_a, _ = run_fastslam(log, cfg, pf, seed=0)
+    _, t_b, n_b, _ = run_fastslam(log, cfg, pf_chunked, seed=0)
+    np.testing.assert_allclose(t_a, t_b, atol=1e-5)
+    np.testing.assert_allclose(n_a, n_b, atol=1e-3)
