@@ -114,6 +114,33 @@ def default_loop_matcher(graph_cfg: GraphConfig) -> MatcherConfig:
     )
 
 
+def _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, upto_scan):
+    """Apply pose-graph corrections to already-emitted per-scan poses:
+    every scan between keyframe k and k+1 moves rigidly with keyframe k
+    (left-multiplied by corrected_k ⊕ old_k^-1)."""
+    nk = len(kf_scan_idx)
+    for k in range(nk):
+        lo = kf_scan_idx[k]
+        hi = kf_scan_idx[k + 1] if k + 1 < nk else upto_scan + 1
+        if lo >= hi:
+            continue
+        o = old_kf[k]
+        c = corrected[k]
+        co, so = np.cos(o[2]), np.sin(o[2])
+        seg = traj_out[lo:hi].copy()
+        # express each scan pose in old keyframe k's frame ...
+        dx = seg[:, 0] - o[0]
+        dy = seg[:, 1] - o[1]
+        bx = co * dx + so * dy
+        by = -so * dx + co * dy
+        bth = seg[:, 2] - o[2]
+        # ... and re-anchor it to the corrected keyframe
+        cc, sc = np.cos(c[2]), np.sin(c[2])
+        traj_out[lo:hi, 0] = c[0] + cc * bx - sc * by
+        traj_out[lo:hi, 1] = c[1] + sc * bx + cc * by
+        traj_out[lo:hi, 2] = (c[2] + bth + np.pi) % (2 * np.pi) - np.pi
+
+
 def run_full_slam(
     log: dict,
     cfg: FrontendConfig,
@@ -241,9 +268,13 @@ def run_full_slam(
         else:
             graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)
+        old_kf = np.stack(kf_poses)
         corrected = np.asarray(graph.poses[: len(kf_poses)])
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
+        # retro-correct the emitted per-scan trajectory: scans between
+        # keyframe k and k+1 move rigidly with keyframe k's correction
+        _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, scan_i)
         # patch the live frontend: pose rides with the last keyframe
         last = jnp.asarray(kf_poses[-1])
         delta = se2.between(prior, state.pose)

@@ -30,6 +30,7 @@ from slam2d_tpu.run.frontend_tiled import (
 )
 from slam2d_tpu.run.full_slam import (
     FullSLAMResult,
+    _retro_correct_traj,
     default_loop_matcher,
     default_submap_grid,
     make_loop_match_fn,
@@ -188,9 +189,11 @@ def run_full_slam_tiled(
 
         graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)
+        old_kf = np.stack(kf_poses)
         corrected = np.asarray(graph.poses[: len(kf_poses)])
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
+        _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, scan_i)
         last = jnp.asarray(kf_poses[-1])
         delta = se2.between(prior, state.pose)
         new_pose = se2.compose(last, delta)

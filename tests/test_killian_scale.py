@@ -48,6 +48,9 @@ def test_killian_scale_loop_closure():
     assert res.n_loops >= 1          # the lap closure fired
     assert ate_kf < 2.0              # sub-1% of path length
     assert ate_kf < ate_odom / 5.0
+    # the emitted per-scan trajectory is retro-corrected too
+    ate_traj = ate_rmse(res.traj, gt, align=False)
+    assert ate_traj < ate_odom / 3.0
     # the world spanned multiple tiles
     coords = np.asarray(res.grid.coords[:-1])
     assert (coords[:, 0] > -(2**30)).sum() >= 6
