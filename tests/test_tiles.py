@@ -71,3 +71,29 @@ def test_gather_missing_tiles_reads_zero_and_scatter_drops():
 def test_world_to_cell_global():
     rc = np.asarray(world_to_cell_global(jnp.asarray([[0.05, -0.05]]), CFG))
     np.testing.assert_array_equal(rc[0], [-1, 0])
+
+
+def test_stitch_and_render_tiled(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from slam2d_tpu.grid.tiles import stitch_tiles
+    from slam2d_tpu.viz.render import save_tiled_map_png
+
+    g = tiled_init(CFG)
+    table = TileTable(CFG)
+    g = table.activate(g, [(0, 0), (1, 1)])
+    # mark one cell in each active tile
+    tiles = g.tiles.at[table.slot_of[(0, 0)], 5, 6].set(3.0)
+    tiles = tiles.at[table.slot_of[(1, 1)], 7, 8].set(3.0)
+    g = g._replace(tiles=tiles)
+
+    dense, (ox, oy) = stitch_tiles(g, CFG)
+    assert dense.shape == (128, 128)  # 2x2 tile span
+    assert dense[5, 6] == 3.0
+    assert dense[64 + 7, 64 + 8] == 3.0
+    assert (ox, oy) == (CFG.origin_x, CFG.origin_y)
+
+    out = save_tiled_map_png(str(tmp_path / "t.png"), g, CFG)
+    assert os.path.getsize(out) > 500
