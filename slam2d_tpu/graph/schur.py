@@ -57,6 +57,11 @@ def build_plan(g: PoseGraph, n_blocks: int) -> SchurPlan:
     """Partition active nodes into contiguous blocks; classify separators."""
     K = int(g.n_nodes)
     E = int(g.n_edges)
+    if K == 0 or E == 0:
+        raise ValueError(
+            f"Schur plan needs a non-empty graph (nodes={K}, edges={E}); "
+            "callers should return the graph unchanged instead"
+        )
     ij = np.asarray(g.edges_ij[:E])
     blk_size = max(1, -(-K // n_blocks))
     block_of = np.minimum(np.arange(K) // blk_size, n_blocks - 1)
@@ -252,43 +257,49 @@ def _iteration_core(
     return new, chi
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("I", "S", "cfg"))
+def _jit_iteration(poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg):
+    return _iteration_core(
+        poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg
+    )
+
+
 def optimize_schur(g: PoseGraph, cfg: GraphConfig, n_blocks: int = 4):
     """GN via block Schur elimination on one device (vmapped blocks)."""
+    if int(g.n_nodes) == 0 or int(g.n_edges) == 0:
+        return g, jnp.float32(0.0)
     plan = build_plan(g, n_blocks)
     plan_dev, int_ids, int_valid, sep_ids = _plan_device_arrays(plan)
     I = plan.int_ids.shape[1]
     poses = g.poses
     chi = jnp.float32(0.0)
     for _ in range(cfg.gn_iters):
-        poses, chi = _iteration_core(
+        poses, chi = _jit_iteration(
             poses, g, plan_dev, int_ids, int_valid, sep_ids,
             I, plan.n_sep, cfg,
         )
     return g._replace(poses=poses), chi
 
 
-def optimize_schur_sharded(
-    g: PoseGraph, cfg: GraphConfig, mesh, n_blocks: int | None = None,
-    axis: str = "particles",
-):
-    """Schur elimination with the BLOCK axis sharded over the mesh: each
-    shard eliminates its keyframe blocks, the reduced separator system is
-    psum-reduced over ICI and solved replicated (SURVEY.md §4.4)."""
+@functools.lru_cache(maxsize=32)
+def _make_sharded_iter(cfg: GraphConfig, mesh, axis: str, I: int, S: int):
+    """Cached shard_map program — caching by the STATIC dims keeps jax.jit's
+    trace cache effective across calls (fresh closures would recompile)."""
     from jax.sharding import PartitionSpec as P
-
-    n_shards = mesh.shape[axis]
-    n_blocks = n_blocks or n_shards
-    assert n_blocks % n_shards == 0, (n_blocks, n_shards)
-    plan = build_plan(g, n_blocks)
-    plan_dev, int_ids, int_valid, sep_ids = _plan_device_arrays(plan)
-    I = plan.int_ids.shape[1]
-    S = plan.n_sep
 
     def one_iter(poses, plan_dev, int_ids, int_valid, sep_ids,
                  edges_ij, edges_z, edges_omega, edge_mask):
-        gg = g._replace(
+        K = poses.shape[0]
+        gg = PoseGraph(
+            poses=poses,
+            node_mask=jnp.zeros(K, bool),
+            n_nodes=jnp.int32(0),
             edges_ij=edges_ij, edges_z=edges_z,
             edges_omega=edges_omega, edge_mask=edge_mask,
+            n_edges=jnp.int32(0),
         )
         return _iteration_core(
             poses, gg, plan_dev, int_ids, int_valid, sep_ids,
@@ -297,7 +308,7 @@ def optimize_schur_sharded(
 
     blocked = P(axis)
     repl = P(None)
-    sharded_iter = jax.jit(
+    return jax.jit(
         jax.shard_map(
             one_iter,
             mesh=mesh,
@@ -311,6 +322,25 @@ def optimize_schur_sharded(
             check_vma=False,
         )
     )
+
+
+def optimize_schur_sharded(
+    g: PoseGraph, cfg: GraphConfig, mesh, n_blocks: int | None = None,
+    axis: str = "particles",
+):
+    """Schur elimination with the BLOCK axis sharded over the mesh: each
+    shard eliminates its keyframe blocks, the reduced separator system is
+    psum-reduced over ICI and solved replicated (SURVEY.md §4.4)."""
+    if int(g.n_nodes) == 0 or int(g.n_edges) == 0:
+        return g, jnp.float32(0.0)
+    n_shards = mesh.shape[axis]
+    n_blocks = n_blocks or n_shards
+    assert n_blocks % n_shards == 0, (n_blocks, n_shards)
+    plan = build_plan(g, n_blocks)
+    plan_dev, int_ids, int_valid, sep_ids = _plan_device_arrays(plan)
+    I = plan.int_ids.shape[1]
+    S = plan.n_sep
+    sharded_iter = _make_sharded_iter(cfg, mesh, axis, I, S)
 
     poses = g.poses
     chi = jnp.float32(0.0)

@@ -38,7 +38,6 @@ from slam2d_tpu.pf.fastslam import (
     PFState,
     _windowed_match,
     _windowed_update,
-    fastslam_init,
     systematic_ancestors,
 )
 
@@ -66,8 +65,29 @@ def place_state(state: PFState, mesh: Mesh, axis: str = PARTICLE_AXIS) -> PFStat
 def sharded_fastslam_init(
     cfg: FrontendConfig, pf: PFConfig, rng, mesh: Mesh, start_pose=None
 ):
-    state = fastslam_init(cfg, pf, rng, start_pose=start_pose)
-    return place_state(state, mesh)
+    import numpy as np
+
+    # Build leaves on the HOST and let device_put shard directly — calling
+    # fastslam_init would stage the whole [P, H, W] stack on one device
+    # before resharding (an avoidable memory spike at large P).
+    pose = (
+        np.zeros(3, np.float32)
+        if start_pose is None
+        else np.asarray(start_pose, np.float32)
+    )
+    P_ = pf.n_particles
+    map_dtype = jnp.dtype(pf.map_dtype)
+    host = PFState(
+        logodds=np.zeros((P_, cfg.grid.height, cfg.grid.width), map_dtype),
+        poses=np.tile(pose[None, :], (P_, 1)),
+        log_w=np.zeros(P_, np.float32),
+        prev_odom=pose.copy(),
+        rng=rng,
+        dist=np.float32(0.0),
+        since_update=np.float32(np.inf),
+        since_match=np.float32(0.0),
+    )
+    return place_state(host, mesh)
 
 
 def _global_log_normalize(log_w, axis):
@@ -103,16 +123,34 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
 
-        matched, scores = jax.vmap(
-            lambda g, p: _windowed_match(g, ranges, p, cfg)
-        )(state.logodds, priors)
-
         in_boot = state.dist < cfg.bootstrap_dist
         rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
             cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
         )
         since_m = state.since_match + step_len + rot_equiv
         do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
+
+        # Heavy per-particle matching behind lax.cond — the predicate is a
+        # function of replicated scalars, so every shard takes the same
+        # branch (SPMD-safe) and non-refine scans pay nothing.
+        batched_match = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg))
+
+        def refine_branch(_):
+            if pf.refine_chunk and Pl > pf.refine_chunk:
+                assert Pl % pf.refine_chunk == 0, (Pl, pf.refine_chunk)
+                nc = Pl // pf.refine_chunk
+                Hg, Wg = state.logodds.shape[-2:]
+                g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
+                p_ = priors.reshape(nc, pf.refine_chunk, 3)
+                m, s = jax.lax.map(lambda a: batched_match(a[0], a[1]), (g_, p_))
+                return m.reshape(Pl, 3), s.reshape(Pl)
+            return batched_match(state.logodds, priors)
+
+        def skip_match(_):
+            return priors, jnp.full((Pl,), -1.0, jnp.float32)
+
+        matched, scores = jax.lax.cond(do_refine, refine_branch, skip_match, None)
+
         # boot: noisy propagation for diversity; between refinements:
         # noiseless dead-reckoning; refinement: matched pose
         deadreckon = jnp.where(
@@ -128,11 +166,14 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
 
         since = state.since_update + step_len
         do_update = in_boot | (since >= cfg.map_update_min_motion)
-        logodds = jax.vmap(
-            lambda g, p: _windowed_update(
-                g, p, ranges, cfg, enable=do_update.astype(jnp.float32)
-            )
-        )(state.logodds, poses)
+        logodds = jax.lax.cond(
+            do_update,
+            lambda _: jax.vmap(
+                lambda g, p: _windowed_update(g, p, ranges, cfg)
+            )(state.logodds, poses),
+            lambda _: state.logodds,
+            None,
+        )
         since = jnp.where(do_update, 0.0, since)
 
         # ---- global systematic resampling ---------------------------------
@@ -158,8 +199,11 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
         def ring_exchange(maps_flat):
-            def ring_body(k, carry):
-                blk, out = carry
+            # statically unrolled: n_shards is small and the final hop's
+            # permute would be dead work, so it is simply omitted
+            blk = maps_flat
+            out = jnp.zeros_like(maps_flat)
+            for k in range(n_shards):
                 src_shard = jnp.mod(shard - k, n_shards)
                 gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
                 mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
@@ -168,14 +212,9 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
                 out = out + jnp.dot(
                     mask, blk, preferred_element_type=jnp.float32
                 ).astype(maps_flat.dtype)
-                blk = jax.lax.ppermute(blk, axis, perm)
-                return blk, out
-
-            _, out = jax.lax.fori_loop(
-                0, n_shards, ring_body,
-                (maps_flat, jnp.zeros_like(maps_flat)),
-            )
-            return out.astype(maps_flat.dtype)
+                if k < n_shards - 1:
+                    blk = jax.lax.ppermute(blk, axis, perm)
+            return out
 
         maps_new = jax.lax.cond(
             do_resample, ring_exchange, lambda m: m, maps_flat
