@@ -119,6 +119,12 @@ class PFConfig:
     # Odometry proposal noise (std-dev) on x, y, theta per step.
     noise_xy: float = 0.04
     noise_theta: float = 0.02
+    # Per-particle refinement matcher overrides (None = inherit the
+    # frontend matcher config). A smaller window here cuts the dominant
+    # per-particle cost roughly proportionally.
+    refine_xy: float | None = None
+    refine_theta: float | None = None
+    refine_n_theta: int | None = None
     resample_threshold: float = 0.5   # resample when N_eff < threshold * N
     # Log-weight increment = sharpness * match score (score in [-pen, 1]);
     # controls how aggressively weights concentrate on good particles.
@@ -131,10 +137,6 @@ class PFConfig:
     # once). The MXU scorer materializes ~13 MB of one-hot operands per
     # particle; at 1000+ particles an unchunked vmap exceeds HBM.
     refine_chunk: int = 0
-    # Per-particle refinement matcher window (smaller than frontend's).
-    refine_xy: float = 0.30
-    refine_theta: float = 0.10
-    refine_n_theta: int = 9
 
 
 @dataclasses.dataclass(frozen=True)

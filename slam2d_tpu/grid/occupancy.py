@@ -183,8 +183,10 @@ def raycast_update_dense(
     cy = oy + (row + 0.5) * cfg.resolution - pose[1]
     d = jnp.hypot(cx, cy)                                   # [H, W]
     phi = jnp.arctan2(cy, cx) - pose[2]                     # bearing
-    phi = jnp.mod(phi - sensor.angle_min + jnp.pi, 2 * jnp.pi) - jnp.pi
-    # phi now relative to angle_min, in (-pi, pi]
+    # relative to angle_min, wrapped into [0, 2*pi): supports wide-FOV
+    # (270/360-degree) sensors — a (-pi, pi] wrap would alias the rear
+    # sector of a full-circle scan out of FOV
+    phi = jnp.mod(phi - sensor.angle_min, 2 * jnp.pi)
     if B > 1:
         step = sensor.fov_rad / (B - 1)
         k = jnp.round(phi / step).astype(jnp.int32)
@@ -192,11 +194,14 @@ def raycast_update_dense(
         k = jnp.clip(k, 0, B - 1)
     else:
         # single beam: "FOV" is the ray itself, within half a cell laterally
+        # (use the signed wrap here — the beam sits at relative bearing 0)
+        phi_signed = jnp.where(phi > jnp.pi, phi - 2 * jnp.pi, phi)
         step = 1.0
         k = jnp.zeros((H, W), jnp.int32)
-        in_fov = (jnp.abs(phi) < jnp.pi / 2) & (
-            jnp.abs(phi) * d <= 0.75 * cfg.resolution
+        in_fov = (jnp.abs(phi_signed) < jnp.pi / 2) & (
+            jnp.abs(phi_signed) * d <= 0.75 * cfg.resolution
         )
+        phi = phi_signed
 
     # Consider the nearest beam AND its neighbor on the cell's side: at
     # grazing incidence an endpoint cell's center bearing can round to the

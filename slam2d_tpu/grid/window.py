@@ -67,7 +67,33 @@ def write_window_interior(arr, window, origin_rc, margin: int):
     """Write back only the interior (margin-trimmed) part of a window —
     used when the window's outer ring was computed with a truncated
     neighborhood (e.g. a blur whose halo ran off the window edge)."""
+    if margin == 0:
+        return write_window(arr, window, origin_rc)
     inner = window[margin:-margin, margin:-margin]
     r0 = origin_rc[0] + margin
     c0 = origin_rc[1] + margin
     return lax.dynamic_update_slice(arr, inner, (r0, c0))
+
+
+def write_window_blur_exact(arr, window, origin_rc, margin: int):
+    """Write back a freshly-blurred window: trim the blur-halo ring EXCEPT
+    on sides where the window is clamped against the array border — there
+    the window edge IS the array edge, so the blur's zero padding matches
+    reality and the ring is exact (otherwise border cells would go stale
+    forever, since every later window clamps the same way)."""
+    if margin == 0:
+        return write_window(arr, window, origin_rc)
+    H, W = arr.shape
+    size = window.shape[0]
+    r0, c0 = origin_rc
+    row = lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    col = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    keep = (
+        ((row >= margin) | (r0 == 0))
+        & ((row < size - margin) | (r0 == H - size))
+        & ((col >= margin) | (c0 == 0))
+        & ((col < size - margin) | (c0 == W - size))
+    )
+    old = lax.dynamic_slice(arr, (r0, c0), (size, size))
+    merged = jnp.where(keep, window, old)
+    return lax.dynamic_update_slice(arr, merged, (r0, c0))

@@ -93,9 +93,24 @@ def _separable_blur(img, k: np.ndarray):
 
 
 def coarse_space(S, factor: int):
-    """Conservative (max-pool) coarse search space; factor must divide shape."""
+    """Conservative (max-pool) coarse search space. Non-divisible shapes
+    are padded with a large negative value (never becomes the argmax)."""
     H, W = S.shape
+    ph = (-H) % factor
+    pw = (-W) % factor
+    if ph or pw:
+        S = jnp.pad(S, ((0, ph), (0, pw)), constant_values=-1e9)
+        H, W = S.shape
     return S.reshape(H // factor, factor, W // factor, factor).max(axis=(1, 3))
+
+
+def _theta_offsets(mcfg: MatcherConfig) -> np.ndarray:
+    """Rotation candidates; n_theta == 1 means 'no rotation search' ([0])."""
+    if mcfg.n_theta <= 1:
+        return np.zeros(1, np.float32)
+    return np.linspace(
+        -mcfg.search_theta, mcfg.search_theta, mcfg.n_theta
+    ).astype(np.float32)
 
 
 def _resolve_impl(impl: str) -> str:
@@ -141,9 +156,13 @@ def score_offsets(
     H, W = S.shape
     theta = prior_pose[2] + dthetas                       # [T]
     pts = se2.rotate_points(theta, pts_local[None, :, :])  # [T, B, 2]
-    # fractional position in cell-center coordinates
+    # fractional position in cell-center coordinates; invalid beams are
+    # force-zeroed — a NaN range would otherwise leak through the bilinear
+    # fractional weights (0 * NaN = NaN) and poison every candidate score
     pos_col = (pts[..., 0] + prior_pose[0] - origin_xy[0]) / cell_size - 0.5
     pos_row = (pts[..., 1] + prior_pose[1] - origin_xy[1]) / cell_size - 0.5
+    pos_col = jnp.where(valid[None, :], pos_col, 0.0)
+    pos_row = jnp.where(valid[None, :], pos_row, 0.0)
 
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
@@ -259,10 +278,7 @@ def peak_uniqueness(
             [jnp.asarray(origin_xy[0], jnp.float32),
              jnp.asarray(origin_xy[1], jnp.float32)]
         )
-    dthetas = jnp.asarray(
-        np.linspace(-mcfg.search_theta, mcfg.search_theta, mcfg.n_theta),
-        dtype=jnp.float32,
-    )
+    dthetas = jnp.asarray(_theta_offsets(mcfg), dtype=jnp.float32)
     r_coarse = int(math.ceil(int(round(mcfg.search_xy / gcfg.resolution)) / f))
     off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
     impl = _resolve_impl(mcfg.score_impl)
@@ -317,10 +333,7 @@ def match_scan(
              jnp.asarray(origin_xy[1], jnp.float32)]
         )
 
-    dthetas = jnp.asarray(
-        np.linspace(-mcfg.search_theta, mcfg.search_theta, mcfg.n_theta),
-        dtype=jnp.float32,
-    )
+    dthetas = jnp.asarray(_theta_offsets(mcfg), dtype=jnp.float32)
 
     def penalty(dx_m, dy_m, dth):
         """Motion-prior penalty surface [T, R, C] from per-axis offsets."""
@@ -356,9 +369,14 @@ def match_scan(
         gcfg.resolution, origin, bilinear=True, impl=impl, use_bf16=mcfg.score_bf16,
     )
     fine_m = fine_off.astype(jnp.float32) * gcfg.resolution
+    sf_raw = sf
     sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dthetas)
     tf_, rf, cf = _argmax3(sf)
-    best = sf[tf_, rf, cf]
+    # the PENALIZED surface picks the pose; the RAW field value at that
+    # pose is the reported/gated match quality (min_score is calibrated
+    # for the [~0, 1] field range, and downstream weighting wants the
+    # likelihood, not likelihood-minus-prior)
+    best = sf_raw[tf_, rf, cf]
 
     # --- sub-cell / sub-bin quadratic peak interpolation -------------------
     def subpeak(axis_idx, along):

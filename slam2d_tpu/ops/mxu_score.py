@@ -46,6 +46,11 @@ def score_offsets_mxu(
       S: [H, W] float32 search-space window.
       pos_row / pos_col: [T, B] fractional cell-center endpoint coordinates.
       valid: [B] bool beam validity.
+
+    Boundary semantics: a beam whose full (R+1)x(C+1) patch leaves the
+    window is dropped for ALL offsets (the gather impl instead masks
+    per-cell) — scores can differ slightly at window edges between impls;
+    window sizing keeps endpoints interior on the hot paths.
     """
     H, W = S.shape
     T, B = pos_row.shape

@@ -28,21 +28,40 @@ from slam2d_tpu.grid.window import extract_window, scan_window_cells, write_wind
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
-def _windowed_match(grid, ranges, prior, cfg: FrontendConfig):
+def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
+    """PF refinement matcher config: frontend matcher with the PFConfig
+    refine_* overrides applied (None = inherit)."""
+    import dataclasses
+
+    m = cfg.matcher
+    if pf.refine_xy is None and pf.refine_theta is None and pf.refine_n_theta is None:
+        return m
+    return dataclasses.replace(
+        m,
+        search_xy=m.search_xy if pf.refine_xy is None else pf.refine_xy,
+        search_theta=(
+            m.search_theta if pf.refine_theta is None else pf.refine_theta
+        ),
+        n_theta=m.n_theta if pf.refine_n_theta is None else pf.refine_n_theta,
+    )
+
+
+def _windowed_match(grid, ranges, prior, cfg: FrontendConfig, mcfg=None):
     """Per-particle match: blur and score only a static window around the
     prior (a scan can't read outside it), not the particle's whole map."""
-    win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    mcfg = mcfg or cfg.matcher
+    win = scan_window_cells(cfg.grid, cfg.sensor, mcfg)
     if win >= min(cfg.grid.height, cfg.grid.width):
-        return match_scan(grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor)
+        return match_scan(grid, ranges, prior, cfg.grid, mcfg, cfg.sensor)
     center = world_to_cell(prior[:2], cfg.grid)
     gw, (r0, c0) = extract_window(grid, center, win)
-    Sw = build_search_space(gw, cfg.matcher, cfg.grid.resolution)
+    Sw = build_search_space(gw, mcfg, cfg.grid.resolution)
     origin = (
         cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
         cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
     )
     return match_scan(
-        grid, ranges, prior, cfg.grid, cfg.matcher, cfg.sensor,
+        grid, ranges, prior, cfg.grid, mcfg, cfg.sensor,
         search_space=Sw, origin_xy=origin,
     )
 
@@ -161,7 +180,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
             [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
-        batched = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg))
+        batched = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg, refine_matcher(cfg, pf)))
         if pf.refine_chunk and P > pf.refine_chunk:
             assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
             nc = P // pf.refine_chunk

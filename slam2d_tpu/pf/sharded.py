@@ -35,6 +35,7 @@ from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import (
+    refine_matcher,
     PFState,
     _windowed_match,
     _windowed_update,
@@ -133,7 +134,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         # Heavy per-particle matching behind lax.cond — the predicate is a
         # function of replicated scalars, so every shard takes the same
         # branch (SPMD-safe) and non-refine scans pay nothing.
-        batched_match = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg))
+        batched_match = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg, refine_matcher(cfg, pf)))
 
         def refine_branch(_):
             if pf.refine_chunk and Pl > pf.refine_chunk:

@@ -24,7 +24,7 @@ from slam2d_tpu.grid.window import (
     extract_window,
     scan_window_cells,
     write_window,
-    write_window_interior,
+    write_window_blur_exact,
 )
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
@@ -129,13 +129,13 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
             gw, pose, ranges, cfg.grid, cfg.sensor, origin_xy=origin
         )
         logodds = write_window(state.logodds, gw, (r0, c0))
-        # Recompute the blurred field on the window; its outer blur-halo
-        # ring saw a truncated neighborhood, but the scan cannot have
-        # changed cells that close to the window edge (see window sizing),
-        # so writing back the interior keeps the global field exact.
+        # Recompute the blurred field on the window; the outer blur-halo
+        # ring saw a truncated neighborhood so it is trimmed — EXCEPT on
+        # sides where the window clamps against the grid border, where the
+        # truncation matches reality (see write_window_blur_exact).
         Sw = build_search_space(gw, cfg.matcher, cfg.grid.resolution)
         halo = blur_halo_cells(cfg.matcher, cfg.grid.resolution)
-        search_space = write_window_interior(
+        search_space = write_window_blur_exact(
             state.search_space, Sw, (r0, c0), halo
         )
         return logodds, search_space

@@ -82,9 +82,16 @@ def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cf
 
     @jax.jit
     def loop_match(grid, ranges, prior):
-        pose, score = match_scan(grid, ranges, prior, gcfg, loop_matcher, cfg.sensor)
+        # build the blurred field ONCE and share it between the match and
+        # the peak-uniqueness diagnostic (it is the expensive stage)
+        S = build_search_space(grid, loop_matcher, gcfg.resolution)
+        pose, score = match_scan(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
+        )
         margin = peak_uniqueness(
-            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
         )
         return pose, score, margin
 
