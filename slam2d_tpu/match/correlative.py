@@ -166,13 +166,14 @@ def score_offsets(
 
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
-    if impl == "mxu":
+    if impl in ("mxu", "emx"):
         # requires drows/dcols to be contiguous symmetric ranges (they are,
-        # for both matcher passes) — the MXU path derives offsets from R, C
-        from slam2d_tpu.ops.mxu_score import score_offsets_mxu
+        # for both matcher passes) — these paths derive offsets from R, C
+        from slam2d_tpu.ops.mxu_score import score_offsets_emx, score_offsets_mxu
 
+        fn = score_offsets_emx if impl == "emx" else score_offsets_mxu
         return (
-            score_offsets_mxu(
+            fn(
                 S, pos_row, pos_col, valid,
                 R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
                 use_bf16=use_bf16,

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-ate", action="store_true",
                    help="print ATE vs ground truth (synth logs only)")
     p.add_argument("--save-viz", action="store_true")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars under OUT/tb "
+                        "(needs tensorboardX; silently skipped otherwise)")
     # checkpoint/resume (frontend mode): process [start, end) scans
     p.add_argument("--save-state", default=None,
                    help="directory to save the pipeline state (orbax)")
@@ -179,12 +182,33 @@ def main(argv=None) -> int:
         if args.tiled:
             from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
 
-            res = run_full_slam_tiled(log, cfg, tile_cfg(), gcfg)
+            res = run_full_slam_tiled(
+                log, cfg, tile_cfg(), gcfg, optimizer=optimizer
+            )
             extra["tiled"] = True
         else:
-            from slam2d_tpu.run.full_slam import run_full_slam
+            from slam2d_tpu.run.full_slam import (
+                fullslam_ckpt_template, run_full_slam,
+            )
 
-            res = run_full_slam(log, cfg, gcfg, optimizer=optimizer)
+            resume = None
+            if args.resume_state:
+                from slam2d_tpu.utils.checkpoint import load_state
+
+                resume = load_state(
+                    args.resume_state, fullslam_ckpt_template(cfg, gcfg)
+                )
+                extra["resumed_from"] = args.resume_state
+            offset = args.scan_range[0] if args.scan_range else 0
+            res = run_full_slam(
+                log, cfg, gcfg, optimizer=optimizer, resume=resume,
+                scan_index_offset=offset,
+            )
+            if args.save_state:
+                from slam2d_tpu.utils.checkpoint import save_state
+
+                save_state(args.save_state, res.ckpt)
+                extra["saved_state"] = args.save_state
         traj, grid = res.traj, res.grid
         if args.tiled:
             grid = res.grid.tiles   # [N, th, tw] slot pool for .npy export
@@ -224,7 +248,7 @@ def main(argv=None) -> int:
             json.dump(metrics, f, indent=2)
         from slam2d_tpu.utils.metrics_logger import MetricsLogger
 
-        with MetricsLogger(args.out, tensorboard=False) as ml:
+        with MetricsLogger(args.out, tensorboard=args.tensorboard) as ml:
             ml.log(0, **{k: v for k, v in metrics.items()
                          if isinstance(v, (int, float))})
 

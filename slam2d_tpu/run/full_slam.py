@@ -107,6 +107,32 @@ class FullSLAMResult(NamedTuple):
     chi2: float
     # accepted loop records: (i, j, score, zx, zy, ztheta) per loop
     loops: np.ndarray = np.zeros((0, 6), np.float32)
+    # resumable pipeline snapshot (see fullslam_ckpt_template) — save with
+    # utils.checkpoint.save_state and pass back as `resume=`
+    ckpt: dict | None = None
+
+
+def fullslam_ckpt_template(cfg: FrontendConfig, graph_cfg: GraphConfig):
+    """Empty checkpoint bundle (fixed shapes) — the orbax restore template
+    and the schema `run_full_slam(..., resume=...)` expects. Everything the
+    host loop owns lives here: frontend state, pose graph, the keyframe
+    store (poses/scans/scan indices, padded to max_nodes), loop records,
+    and the admission/cooldown counters (SURVEY.md §7 checkpoint/resume)."""
+    Kmax = graph_cfg.max_nodes
+    B = cfg.sensor.n_beams
+    return {
+        "frontend": frontend_init(cfg),
+        "graph": se2_graph.graph_init(graph_cfg),
+        "kf_poses": np.zeros((Kmax, 3), np.float32),
+        "kf_scans": np.zeros((Kmax, B), np.float32),
+        "kf_scan_idx": np.zeros(Kmax, np.int32),
+        "kf_count": np.int32(0),
+        "last_kf_pose": np.zeros(3, np.float32),
+        "loops": np.zeros((graph_cfg.max_edges, 6), np.float32),
+        "n_loops": np.int32(0),
+        "chi2": np.float32(0.0),
+        "cooldown": np.int32(0),
+    }
 
 
 def default_loop_matcher(graph_cfg: GraphConfig) -> MatcherConfig:
@@ -121,14 +147,20 @@ def default_loop_matcher(graph_cfg: GraphConfig) -> MatcherConfig:
     )
 
 
-def _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, upto_scan):
+def _retro_correct_traj(
+    traj_out, kf_scan_idx, old_kf, corrected, upto_scan, offset=0
+):
     """Apply pose-graph corrections to already-emitted per-scan poses:
     every scan between keyframe k and k+1 moves rigidly with keyframe k
-    (left-multiplied by corrected_k ⊕ old_k^-1)."""
+    (left-multiplied by corrected_k ⊕ old_k^-1).
+
+    `offset` maps stored (absolute) keyframe scan indices into this run's
+    traj_out rows — on a resumed run, scans emitted by the previous run
+    lie before row 0 and are clamped away (they were already written)."""
     nk = len(kf_scan_idx)
     for k in range(nk):
-        lo = kf_scan_idx[k]
-        hi = kf_scan_idx[k + 1] if k + 1 < nk else upto_scan + 1
+        lo = max(kf_scan_idx[k] - offset, 0)
+        hi = (kf_scan_idx[k + 1] - offset) if k + 1 < nk else upto_scan + 1
         if lo >= hi:
             continue
         o = old_kf[k]
@@ -157,11 +189,18 @@ def run_full_slam(
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
     optimizer: str = "dense",
+    resume: dict | None = None,
+    scan_index_offset: int = 0,
 ):
     """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
 
     optimizer: "dense" (one Cholesky over all keyframes) or "schur"
-    (block-eliminated — the form that scales/distributes)."""
+    (block-eliminated — the form that scales/distributes).
+
+    resume: a checkpoint bundle (FullSLAMResult.ckpt of a previous run,
+    possibly round-tripped through orbax) to continue from; pair with
+    scan_index_offset = number of scans the previous run already consumed
+    so keyframe scan indices stay absolute across the split."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
 
     odom_np = np.asarray(log["odom"], np.float32)
@@ -178,23 +217,40 @@ def run_full_slam(
     rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
     loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
 
-    state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
-    graph = se2_graph.graph_init(graph_cfg)
-
-    # host-side keyframe store
-    kf_poses: list[np.ndarray] = []
-    kf_scans: list[np.ndarray] = []
-    kf_scan_idx: list[int] = []
-    loop_records: list[tuple] = []
-    n_loops = 0
-    chi2 = 0.0
+    # host-side keyframe store (restored from `resume` when given)
+    if resume is not None:
+        state = jax.tree.map(jnp.asarray, resume["frontend"])
+        graph = jax.tree.map(jnp.asarray, resume["graph"])
+        kc = int(resume["kf_count"])
+        kf_poses = [np.asarray(resume["kf_poses"][k]) for k in range(kc)]
+        kf_scans = [np.asarray(resume["kf_scans"][k]) for k in range(kc)]
+        kf_scan_idx = [int(resume["kf_scan_idx"][k]) for k in range(kc)]
+        nl = int(resume["n_loops"])
+        loop_records = [tuple(np.asarray(resume["loops"][k])) for k in range(nl)]
+        n_loops = nl
+        chi2 = float(resume["chi2"])
+        init_cooldown = int(resume["cooldown"])
+        init_last_kf = (
+            np.asarray(resume["last_kf_pose"]) if kc > 0 else None
+        )
+    else:
+        state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
+        graph = se2_graph.graph_init(graph_cfg)
+        kf_poses = []
+        kf_scans = []
+        kf_scan_idx = []
+        loop_records = []
+        n_loops = 0
+        chi2 = 0.0
+        init_cooldown = 0
+        init_last_kf = None
     traj_out = np.zeros((T, 3), np.float32)
 
     def admit_keyframe(pose, scan_i):
         nonlocal graph
         kf_poses.append(pose.copy())
         kf_scans.append(ranges_np[scan_i])
-        kf_scan_idx.append(scan_i)
+        kf_scan_idx.append(scan_i + scan_index_offset)  # absolute index
         graph = se2_graph.add_node(graph, jnp.asarray(pose))
         k = len(kf_poses) - 1
         if k > 0:
@@ -281,7 +337,10 @@ def run_full_slam(
             kf_poses[k] = corrected[k]
         # retro-correct the emitted per-scan trajectory: scans between
         # keyframe k and k+1 move rigidly with keyframe k's correction
-        _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, scan_i)
+        _retro_correct_traj(
+            traj_out, kf_scan_idx, old_kf, corrected, scan_i,
+            offset=scan_index_offset,
+        )
         # patch the live frontend: pose rides with the last keyframe
         last = jnp.asarray(kf_poses[-1])
         delta = se2.between(prior, state.pose)
@@ -308,8 +367,8 @@ def run_full_slam(
         return True
 
     # ---- main host loop over chunks ---------------------------------------
-    last_kf_pose = None
-    cooldown = 0
+    last_kf_pose = init_last_kf
+    cooldown = init_cooldown
     for s0 in range(0, T, K):
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
@@ -344,6 +403,25 @@ def run_full_slam(
                 elif try_close_loop(k_new, scan_i):
                     cooldown = graph_cfg.loop_cooldown
 
+    ckpt = fullslam_ckpt_template(cfg, graph_cfg)
+    ckpt["frontend"] = state
+    ckpt["graph"] = graph
+    nk = len(kf_poses)
+    if nk:
+        ckpt["kf_poses"][:nk] = np.stack(kf_poses)
+        ckpt["kf_scans"][:nk] = np.stack(kf_scans)
+        ckpt["kf_scan_idx"][:nk] = np.asarray(kf_scan_idx, np.int32)
+        ckpt["last_kf_pose"] = np.asarray(
+            last_kf_pose if last_kf_pose is not None else kf_poses[-1],
+            np.float32,
+        )
+    ckpt["kf_count"] = np.int32(nk)
+    if loop_records:
+        ckpt["loops"][:n_loops] = np.asarray(loop_records, np.float32)
+    ckpt["n_loops"] = np.int32(n_loops)
+    ckpt["chi2"] = np.float32(chi2)
+    ckpt["cooldown"] = np.int32(cooldown)
+
     return FullSLAMResult(
         traj=traj_out,
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
@@ -352,4 +430,5 @@ def run_full_slam(
         grid=state.logodds,
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
+        ckpt=ckpt,
     )

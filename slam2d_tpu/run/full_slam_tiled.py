@@ -88,7 +88,10 @@ def run_full_slam_tiled(
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
     drift_margin: float = 2.0,
+    optimizer: str = "dense",
 ):
+    """optimizer: "dense" (one Cholesky over all keyframes) or "schur"
+    (keyframe-block eliminated — the form that scales/distributes)."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
     odom_np = np.asarray(log["odom"], np.float32)
     ranges_np = np.asarray(log["ranges"], np.float32)
@@ -187,7 +190,12 @@ def run_full_slam_tiled(
         loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
         n_loops += 1
 
-        graph, chi = se2_graph.optimize(graph, graph_cfg)
+        if optimizer == "schur":
+            from slam2d_tpu.graph.schur import optimize_schur
+
+            graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+        else:
+            graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)
         old_kf = np.stack(kf_poses)
         corrected = np.asarray(graph.poses[: len(kf_poses)])

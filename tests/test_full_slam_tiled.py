@@ -1,6 +1,7 @@
 """Unbounded-world full SLAM (tiled frontend + loop closure + pose graph)."""
 
 import numpy as np
+import pytest
 
 from slam2d_tpu.config import (
     FrontendConfig,
@@ -15,7 +16,8 @@ from slam2d_tpu.metrics import ate_rmse
 from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
 
 
-def test_tiled_full_slam_closes_loops():
+@pytest.mark.parametrize("optimizer", ["dense", "schur"])
+def test_tiled_full_slam_closes_loops(optimizer):
     sensor = SensorConfig(n_beams=120, max_range=12.0)
     cfg = FrontendConfig(
         sensor=sensor,
@@ -40,7 +42,7 @@ def test_tiled_full_slam_closes_loops():
         world, wp, sensor, step=0.15,
         odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5,
     )
-    res = run_full_slam_tiled(log, cfg, tcfg, gcfg)
+    res = run_full_slam_tiled(log, cfg, tcfg, gcfg, optimizer=optimizer)
 
     assert len(res.kf_poses) > 20
     assert np.isfinite(res.traj).all()

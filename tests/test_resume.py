@@ -36,3 +36,57 @@ def test_split_run_matches_single_run(tmp_path):
 
     traj_split = np.concatenate([traj_a, traj_b])
     np.testing.assert_allclose(traj_split, traj_full, atol=1e-4)
+
+
+def test_full_slam_split_run_matches_single_run(tmp_path):
+    """Full SLAM (config 5) checkpoint/resume: keyframes, graph, and loop
+    closures of a split run match the single run; part-2 trajectory rows
+    agree (part-1 rows emitted before the split can't be retro-corrected
+    by loops closed after it — documented semantic of mid-log resume)."""
+    from slam2d_tpu.config import GraphConfig
+    from slam2d_tpu.run.full_slam import fullslam_ckpt_template, run_full_slam
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=120, max_range=12.0),
+        grid=GridConfig(
+            height=256, width=256, resolution=0.1, ray_samples=128,
+            center_x=10.0, center_y=10.0,
+        ),
+        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
+        chunk=16,
+        bootstrap_dist=2.0,
+    )
+    gcfg = GraphConfig(
+        max_nodes=128, max_edges=512, keyframe_dist=0.5,
+        loop_min_gap=10, loop_radius=2.5, loop_score_accept=0.35,
+        gn_iters=10,
+    )
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 10.0],
+         [3.0, 3.8]]
+    )
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.15,
+        odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5,
+    )
+    T = len(log["odom"])
+    cut = (T // 2 // cfg.chunk) * cfg.chunk
+
+    full = run_full_slam(log, cfg, gcfg)
+    assert full.n_loops >= 1  # the scenario must exercise loop closure
+
+    first = {k: v[:cut] for k, v in log.items()}
+    second = {k: v[cut:] for k, v in log.items()}
+    res_a = run_full_slam(first, cfg, gcfg)
+    path = save_state(str(tmp_path / "fs_ck"), res_a.ckpt)
+    restored = load_state(path, fullslam_ckpt_template(cfg, gcfg))
+    res_b = run_full_slam(
+        second, cfg, gcfg, resume=restored, scan_index_offset=cut
+    )
+
+    assert res_b.n_loops == full.n_loops
+    np.testing.assert_array_equal(res_b.kf_scan_idx, full.kf_scan_idx)
+    np.testing.assert_allclose(res_b.kf_poses, full.kf_poses, atol=1e-3)
+    np.testing.assert_allclose(res_b.traj, full.traj[cut:], atol=1e-3)

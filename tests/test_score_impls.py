@@ -1,4 +1,4 @@
-"""All three scoring kernels agree (gather / mxu / pallas-interpret)."""
+"""All scoring kernels agree (gather / mxu / emx / pallas-interpret)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +23,7 @@ def _inputs(seed=3, T=3, B=24, H=96, W=96):
 def test_three_impls_agree(bilinear):
     S, prior, pts, valid, dthetas, offs, origin = _inputs()
     out = {}
-    for impl in ("gather", "mxu", "pallas"):
+    for impl in ("gather", "mxu", "emx", "pallas"):
         out[impl] = np.asarray(
             score_offsets(
                 S, prior, pts, valid, dthetas, offs, offs, 0.1, origin,
@@ -31,4 +31,5 @@ def test_three_impls_agree(bilinear):
             )
         )
     np.testing.assert_allclose(out["mxu"], out["gather"], atol=2e-4)
+    np.testing.assert_allclose(out["emx"], out["mxu"], atol=2e-4)
     np.testing.assert_allclose(out["pallas"], out["gather"], atol=2e-4)
