@@ -31,12 +31,21 @@ P = 100
 
 
 def timeit(name, fn, *args, iters=20):
+    """Times fn; syncs via a SCALAR checksum so the remote tunnel never
+    transfers bulk outputs (fetching a [100, T, H, W] tensor through the
+    tunnel costs ~1.4 s/GB and swamps any kernel timing). Returns fn's
+    device outputs for chaining."""
     out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x), out)
+    reduced = jax.jit(
+        lambda o: jax.tree.reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), o, jnp.float32(0)
+        )
+    )
+    np.asarray(reduced(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x), out)
+    np.asarray(reduced(out))
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({"stage": name, "ms": round(dt * 1e3, 3)}), flush=True)
     return out

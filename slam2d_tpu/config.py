@@ -125,6 +125,11 @@ class PFConfig:
     refine_xy: float | None = None
     refine_theta: float | None = None
     refine_n_theta: int | None = None
+    # Scoring kernel for the refinement matcher (None = inherit). The
+    # endpoint-image "emx" path wins for vmapped per-particle refinement
+    # (the patch-extraction path's per-beam stage-2 matmuls are MXU-
+    # padding-bound); the frontend's single big match keeps "mxu".
+    refine_score_impl: str | None = None
     resample_threshold: float = 0.5   # resample when N_eff < threshold * N
     # Log-weight increment = sharpness * match score (score in [-pen, 1]);
     # controls how aggressively weights concentrate on good particles.

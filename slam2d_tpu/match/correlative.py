@@ -114,11 +114,16 @@ def _theta_offsets(mcfg: MatcherConfig) -> np.ndarray:
 
 
 def _resolve_impl(impl: str) -> str:
-    if impl != "auto":
+    """"auto" = frontend-style single big match (mxu wins on TPU);
+    "auto_refine" = vmapped per-particle refinement (emx wins: measured
+    12.8 ms vs 16.3 ms per FastSLAM-100 refine)."""
+    if impl not in ("auto", "auto_refine"):
         return impl
     import jax
 
-    return "mxu" if jax.default_backend() == "tpu" else "gather"
+    if jax.default_backend() != "tpu":
+        return "gather"
+    return "emx" if impl == "auto_refine" else "mxu"
 
 
 def score_offsets(
@@ -345,26 +350,37 @@ def match_scan(
         )
 
     # --- coarse pass over the full window ---------------------------------
+    # When the whole translation window fits inside one fine pass
+    # (r_fine <= coarse_factor — typical for PF refinement's tight search),
+    # the pyramid adds nothing: skip the coarse pass and search the exact
+    # window at full resolution in a single (bilinear) pass.
     r_fine = int(round(mcfg.search_xy / gcfg.resolution))
-    r_coarse = int(math.ceil(r_fine / f))
-    coarse_off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
-    cs = gcfg.resolution * f
     impl = _resolve_impl(mcfg.score_impl)
-    sc = score_offsets(
-        Sc, prior_pose, pts_local, valid, dthetas, coarse_off, coarse_off,
-        cs, origin, impl=impl, use_bf16=mcfg.score_bf16,
-    )
-    off_m = coarse_off.astype(jnp.float32) * cs
-    sc = sc - penalty(off_m, off_m, dthetas)
-    tc, rc, cc = _argmax3(sc)
-    coarse_dx = coarse_off[cc].astype(jnp.float32) * cs
-    coarse_dy = coarse_off[rc].astype(jnp.float32) * cs
-    prior2 = jnp.stack(
-        [prior_pose[0] + coarse_dx, prior_pose[1] + coarse_dy, prior_pose[2]]
-    )
+    single_pass = r_fine <= f
+    if single_pass:
+        coarse_dx = jnp.float32(0.0)
+        coarse_dy = jnp.float32(0.0)
+        prior2 = prior_pose
+        fine_off = jnp.arange(-r_fine, r_fine + 1, dtype=jnp.int32)
+    else:
+        r_coarse = int(math.ceil(r_fine / f))
+        coarse_off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
+        cs = gcfg.resolution * f
+        sc = score_offsets(
+            Sc, prior_pose, pts_local, valid, dthetas, coarse_off, coarse_off,
+            cs, origin, impl=impl, use_bf16=mcfg.score_bf16,
+        )
+        off_m = coarse_off.astype(jnp.float32) * cs
+        sc = sc - penalty(off_m, off_m, dthetas)
+        tc, rc, cc = _argmax3(sc)
+        coarse_dx = coarse_off[cc].astype(jnp.float32) * cs
+        coarse_dy = coarse_off[rc].astype(jnp.float32) * cs
+        prior2 = jnp.stack(
+            [prior_pose[0] + coarse_dx, prior_pose[1] + coarse_dy, prior_pose[2]]
+        )
 
-    # --- fine pass: +/- one coarse cell at full res, bilinear sampling -----
-    fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
+        # --- fine pass: +/- one coarse cell at full res, bilinear ----------
+        fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
     sf = score_offsets(
         S, prior2, pts_local, valid, dthetas, fine_off, fine_off,
         gcfg.resolution, origin, bilinear=True, impl=impl, use_bf16=mcfg.score_bf16,

@@ -47,8 +47,13 @@ def _score_kernel(rows_ref, cols_ref, wts_ref, S_ref, out_ref, acc_ref, *, n_bea
         # Mosaic requires the sublane (second-to-last) start of a vector
         # load to be provably 8-aligned: read an aligned, taller patch and
         # pick the residual shift with an 8-way static-slice switch.
+        # The LANE start can't be dynamic at all (vector loads need a
+        # provable 128-multiple): read full-width rows and bring column c0
+        # to lane 0 with a dynamic rotate (the caller pads W to 128k).
         r0a = pl.multiple_of((r0 // 8) * 8, 8)
-        tall = S_ref[pl.ds(r0a, R + 1 + 8), pl.ds(c0, C + 1)]
+        W = S_ref.shape[1]
+        tall = S_ref[pl.ds(r0a, R + 1 + 8), :]
+        tall = pltpu.roll(tall, W - c0, axis=1)
         patch = jax.lax.switch(
             r0 - r0a,
             [lambda x, k=k: x[k : k + R + 1, :] for k in range(8)],
@@ -81,6 +86,13 @@ def score_offsets_pallas(S, rows, cols, wts, R: int, C: int, interpret: bool = F
         (1-fr)fc, fr(1-fc), fr*fc), zero for invalid beams.
     """
     T, B = rows.shape
+    # pad the lane dim to a 128-multiple (Mosaic vector-load tiling) and
+    # the sublane dim for the kernel's 8-aligned tall reads
+    H, W = S.shape
+    pad_w = (-W) % 128
+    pad_h = 8 + (-H) % 8
+    if pad_w or pad_h:
+        S = jnp.pad(S, ((0, pad_h), (0, pad_w)))
     kernel = functools.partial(_score_kernel, n_beams=B, R=R, C=C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # rows, cols in SMEM

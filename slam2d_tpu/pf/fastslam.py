@@ -34,8 +34,14 @@ def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
     import dataclasses
 
     m = cfg.matcher
-    if pf.refine_xy is None and pf.refine_theta is None and pf.refine_n_theta is None:
-        return m
+    # impl default: an un-pinned ("auto") matcher resolves per-context —
+    # the refinement context prefers the endpoint-image kernel on TPU
+    if pf.refine_score_impl is not None:
+        impl = pf.refine_score_impl
+    elif m.score_impl == "auto":
+        impl = "auto_refine"
+    else:
+        impl = m.score_impl
     return dataclasses.replace(
         m,
         search_xy=m.search_xy if pf.refine_xy is None else pf.refine_xy,
@@ -43,6 +49,7 @@ def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
             m.search_theta if pf.refine_theta is None else pf.refine_theta
         ),
         n_theta=m.n_theta if pf.refine_n_theta is None else pf.refine_n_theta,
+        score_impl=impl,
     )
 
 
