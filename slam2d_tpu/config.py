@@ -51,13 +51,14 @@ class GridConfig:
     # the actual range so shapes stay static (SURVEY.md §9 "static shapes").
     # Only used by the sparse ("raycast") update implementation.
     ray_samples: int = 192
-    # Scan-integration kernel: "sparse" = per-beam ray sampling +
-    # scatter-add (reference-style; ~1.3 ms on a 576^2 window — the scatter
-    # is fine on TPU), "dense" = inverse-sensor-model evaluated at every
-    # cell (its per-cell beam-table GATHERS are what's slow on TPU —
-    # measured 17 ms — so sparse stays the default until the dense lookups
-    # are reformulated as one-hot matmuls).
-    update_impl: str = "sparse"
+    # Scan-integration kernel. "auto" (default) = per-beam ray sampling
+    # with backend-picked accumulation: scatter-add on CPU, one-hot-matmul
+    # accumulation on TPU (XLA's TPU scatter serializes — 27 ms for the
+    # vmapped FastSLAM-100 update vs 5.5 ms as a matmul). Explicit:
+    # "sparse" (always scatter), "sparse_mxu" (always matmul), "dense"
+    # (XLA inverse-sensor-model; slow beam-table gathers), "pallas"
+    # (Pallas dense kernel, 9.8 ms at FastSLAM-100 shapes).
+    update_impl: str = "auto"
 
     @property
     def origin_x(self) -> float:

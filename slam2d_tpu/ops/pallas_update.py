@@ -99,28 +99,34 @@ def _update_kernel(
     half_slot = 0.5 * step
     occ_tol = 0.75 * resolution
 
-    def body(b, carry):
+    # beam loop unrolled 2x: Mosaic's per-iteration scalar-loop overhead is
+    # comparable to the ~10 VPU block ops of one beam, so pairing beams per
+    # trip buys ~25% (the caller pads the beam tables to even length)
+    def body(b2, carry):
         free, occ = carry
-        ab = b.astype(jnp.float32) * step
-        dphi = jnp.abs(phi - ab)
-        r_b = r_hit_ref[b]
-        rm = rmin3_ref[b]
-        free = jnp.maximum(
-            free,
-            jnp.where((dphi <= half_slot) & (d < rm - resolution), 1.0, 0.0),
-        )
-        occ = jnp.maximum(
-            occ,
-            jnp.where(
-                (dphi * d <= occ_tol) & (jnp.abs(d - r_b) <= occ_tol) & (r_b > 0),
-                1.0,
-                0.0,
-            ),
-        )
+        for k in range(2):
+            b = b2 * 2 + k
+            ab = b.astype(jnp.float32) * step
+            dphi = jnp.abs(phi - ab)
+            r_b = r_hit_ref[b]
+            rm = rmin3_ref[b]
+            free = jnp.maximum(
+                free,
+                jnp.where((dphi <= half_slot) & (d < rm - resolution), 1.0, 0.0),
+            )
+            occ = jnp.maximum(
+                occ,
+                jnp.where(
+                    (dphi * d <= occ_tol)
+                    & (jnp.abs(d - r_b) <= occ_tol) & (r_b > 0),
+                    1.0,
+                    0.0,
+                ),
+            )
         return free, occ
 
     zeros = jnp.zeros((block_rows, width), jnp.float32)
-    free, occ = lax.fori_loop(0, n_beams, body, (zeros, zeros))
+    free, occ = lax.fori_loop(0, (n_beams + 1) // 2, body, (zeros, zeros))
 
     upd = (l_free * free + l_occ * occ) * enable
     out_ref[:, :] = jnp.clip(g_ref[:, :] + upd, -l_clamp, l_clamp)
@@ -143,6 +149,12 @@ def pallas_dense_update(
 ):
     """Drop-in for raycast_update_dense backed by the Pallas kernel."""
     H, W = logodds.shape
+    if H % block_rows:
+        # largest 8-multiple divisor of H at most the requested block
+        block_rows = max(
+            (b for b in range(8, block_rows + 1, 8) if H % b == 0),
+            default=8,
+        )
     assert H % block_rows == 0, (H, block_rows)
     if origin_xy is None:
         ox, oy = cfg.origin_x, cfg.origin_y
@@ -164,6 +176,13 @@ def pallas_dense_update(
         ),
     )
     rmin3 = jnp.where(valid & jnp.isfinite(rmin3), rmin3, -1.0)
+
+    # pad beam tables to even length for the 2x-unrolled kernel loop
+    # (-1 encodes "can't fire" for both the free and occ tests)
+    if B % 2:
+        r_hit = jnp.concatenate([r_hit, jnp.full((1,), -1.0, jnp.float32)])
+        rmin3 = jnp.concatenate([rmin3, jnp.full((1,), -1.0, jnp.float32)])
+        B = B + 1
 
     scalars = jnp.stack(
         [

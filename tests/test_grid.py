@@ -77,3 +77,35 @@ def test_out_of_bounds_beams_dropped():
     sensor = SensorConfig(n_beams=1, fov_rad=0.0, angle_min=0.0, max_range=8.0)
     out = raycast_update(grid, pose, jnp.asarray([6.0], jnp.float32), small, sensor)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mxu_scatter_accumulation_matches_scatter():
+    """One-hot-matmul accumulation == scatter-add (same samples), f32/bf16."""
+    import dataclasses
+
+    from slam2d_tpu.config import GridConfig, SensorConfig
+    from slam2d_tpu.grid.occupancy import raycast_update
+
+    cfg = GridConfig(height=96, width=96, resolution=0.1, ray_samples=64,
+                     center_x=3.0, center_y=3.0)
+    sensor = SensorConfig(n_beams=45, max_range=6.0)
+    rng = np.random.default_rng(0)
+    g = jnp.zeros((96, 96), jnp.float32)
+    pose = jnp.asarray([3.0, 3.2, 0.4], jnp.float32)
+    ranges = jnp.asarray(
+        rng.uniform(0.5, 6.5, sensor.n_beams).astype(np.float32)
+    )
+    ref = raycast_update(g, pose, ranges, cfg, sensor, accumulate="scatter")
+    got = raycast_update(g, pose, ranges, cfg, sensor, accumulate="mxu")
+    # bf16 column one-hots are exact; the weights ride in bf16 (<=0.4% rel,
+    # so a cell accumulating ~25 samples can differ by ~0.01 log-odds —
+    # noise against the 0.4/0.85 increments and the +-10 clamp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+    from slam2d_tpu.ops.mxu_update import scatter_add_mxu
+    rows = jnp.asarray(rng.integers(0, 96, 500), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, 96, 500), jnp.int32)
+    w = jnp.asarray(rng.normal(size=500).astype(np.float32))
+    exact = jnp.zeros((96, 96)).at[rows, cols].add(w)
+    got32 = scatter_add_mxu(rows, cols, w, 96, 96, use_bf16=False)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(exact), atol=1e-5)
