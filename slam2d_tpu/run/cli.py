@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-slots", type=int, default=64)
     p.add_argument("--schur", action="store_true",
                    help="block-Schur pose-graph optimizer (full mode)")
+    p.add_argument("--optimizer", default=None,
+                   choices=["dense", "schur", "schur_sharded"],
+                   help="pose-graph optimizer (full mode): dense Cholesky, "
+                        "block-Schur, or mesh-sharded block-Schur over all "
+                        "visible devices (overrides --schur)")
     p.add_argument("--log", required=True,
                    help="CARMEN .log/.clf, preprocessed .json, or 'synth'")
     p.add_argument("--out", default=None, help="output directory")
@@ -178,7 +183,7 @@ def main(argv=None) -> int:
         extra["mean_n_eff"] = float(np.mean(n_eff))
     else:  # full
         gcfg = GraphConfig()
-        optimizer = "schur" if args.schur else "dense"
+        optimizer = args.optimizer or ("schur" if args.schur else "dense")
         if args.tiled:
             from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
 

@@ -194,8 +194,10 @@ def run_full_slam(
 ):
     """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
 
-    optimizer: "dense" (one Cholesky over all keyframes) or "schur"
-    (block-eliminated — the form that scales/distributes).
+    optimizer: "dense" (one Cholesky over all keyframes), "schur"
+    (block-eliminated — the form that scales/distributes), or
+    "schur_sharded" (block axis sharded over all visible devices;
+    separator system psum-reduced).
 
     resume: a checkpoint bundle (FullSLAMResult.ckpt of a previous run,
     possibly round-tripped through orbax) to continue from; pair with
@@ -328,6 +330,12 @@ def run_full_slam(
             from slam2d_tpu.graph.schur import optimize_schur
 
             graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+        elif optimizer == "schur_sharded":
+            from slam2d_tpu.graph.schur import optimize_schur_sharded
+            from slam2d_tpu.parallel.mesh import make_particle_mesh
+
+            mesh = make_particle_mesh()
+            graph, chi = optimize_schur_sharded(graph, graph_cfg, mesh)
         else:
             graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)

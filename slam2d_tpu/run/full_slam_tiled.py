@@ -90,8 +90,9 @@ def run_full_slam_tiled(
     drift_margin: float = 2.0,
     optimizer: str = "dense",
 ):
-    """optimizer: "dense" (one Cholesky over all keyframes) or "schur"
-    (keyframe-block eliminated — the form that scales/distributes)."""
+    """optimizer: "dense" (one Cholesky over all keyframes), "schur"
+    (keyframe-block eliminated — the form that scales/distributes), or
+    "schur_sharded" (block axis over all visible devices)."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
     odom_np = np.asarray(log["odom"], np.float32)
     ranges_np = np.asarray(log["ranges"], np.float32)
@@ -194,6 +195,12 @@ def run_full_slam_tiled(
             from slam2d_tpu.graph.schur import optimize_schur
 
             graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+        elif optimizer == "schur_sharded":
+            from slam2d_tpu.graph.schur import optimize_schur_sharded
+            from slam2d_tpu.parallel.mesh import make_particle_mesh
+
+            mesh = make_particle_mesh()
+            graph, chi = optimize_schur_sharded(graph, graph_cfg, mesh)
         else:
             graph, chi = se2_graph.optimize(graph, graph_cfg)
         chi2 = float(chi)

@@ -58,3 +58,32 @@ def test_full_slam_closes_loops_and_improves_keyframes():
     assert ate_odom > 0.2  # the scenario must be hard enough to matter
     assert ate_kf < ate_odom
     assert ate_kf < 0.35
+
+
+def test_full_slam_schur_sharded_optimizer():
+    """Driver wiring for optimizer="schur_sharded" (8 virtual devices):
+    same loops and keyframe accuracy as the dense run."""
+    cfg = _cfg()
+    gcfg = GraphConfig(
+        max_nodes=128, max_edges=512, keyframe_dist=0.5,
+        loop_min_gap=10, loop_radius=2.5, loop_score_accept=0.35,
+        gn_iters=10,
+    )
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 10.0],
+         [3.0, 3.8]]
+    )
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.15,
+        odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5,
+    )
+    res = run_full_slam(log, cfg, gcfg, optimizer="schur_sharded")
+    assert res.n_loops >= 1
+    idx = res.kf_scan_idx
+    gt_kf = log["gt_poses"][idx]
+    ate_kf = ate_rmse(res.kf_poses, gt_kf, align=False)
+    ate_odom = ate_rmse(log["odom"][idx], gt_kf, align=False)
+    assert ate_kf < ate_odom
+    assert ate_kf < 0.35
