@@ -27,6 +27,14 @@ REFERENCE_SCANS_PER_SEC = 1.0
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--map-dtype", default="float32")
+    ap.add_argument("--refine-chunk", type=int, default=0)
+    args = ap.parse_args()
+
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
@@ -37,7 +45,10 @@ def main():
         chunk=32,
         bootstrap_dist=2.0,
     )
-    pf = PFConfig(n_particles=100)
+    pf = PFConfig(
+        n_particles=args.particles, map_dtype=args.map_dtype,
+        refine_chunk=args.refine_chunk,
+    )
 
     world = SynthWorld.box_rooms(20.0)
     wp = np.array(
@@ -72,7 +83,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "fastslam100_scans_per_sec",
+                "metric": f"fastslam{args.particles}_scans_per_sec",
                 "value": round(rate, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(rate / REFERENCE_SCANS_PER_SEC, 2),

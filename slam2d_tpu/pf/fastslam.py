@@ -226,9 +226,22 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     do_update = in_boot | (since >= cfg.map_update_min_motion)
 
     def update_branch(_):
-        return jax.vmap(
+        batched_upd = jax.vmap(
             lambda g, p: _windowed_update(g, p, ranges, cfg)
-        )(state.logodds, poses)
+        )
+        # chunk like the refinement: the TPU matmul-accumulation update
+        # materializes ~13 MB of one-hot operands per particle — unchunked
+        # at 1000+ particles that exceeds HBM
+        if pf.refine_chunk and P > pf.refine_chunk:
+            nc = P // pf.refine_chunk
+            Hg, Wg = state.logodds.shape[-2:]
+            g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
+            p_ = poses.reshape(nc, pf.refine_chunk, 3)
+            out = jax.lax.map(
+                lambda args: batched_upd(args[0], args[1]), (g_, p_)
+            )
+            return out.reshape(P, Hg, Wg)
+        return batched_upd(state.logodds, poses)
 
     logodds = jax.lax.cond(
         do_update, update_branch, lambda _: state.logodds, None

@@ -37,14 +37,19 @@ from slam2d_tpu.match.correlative import (
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
 
-def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None):
-    """Jitted: re-raycast up to `capacity` keyframe scans into a fresh grid."""
+def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None,
+                    chunk: int = 32):
+    """Re-raycast up to `capacity` keyframe scans into a fresh grid.
+
+    The device work is a jitted CHUNK of `chunk` scans; the host loops
+    only over chunks that contain active keyframes (n_active), so a
+    7-keyframe submap costs one chunk instead of a `capacity`(=512)-step
+    lax.scan — loop-closure scoring and post-loop rebuilds dominate the
+    config-5 wall clock otherwise."""
     gcfg = grid_cfg or cfg.grid
 
     @jax.jit
-    def rebuild(poses, scans, mask):
-        grid = make_grid(gcfg)
-
+    def rebuild_chunk(grid, poses, scans, mask):
         def body(g, inp):
             p, r, m = inp
             return (
@@ -55,6 +60,18 @@ def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None):
         grid, _ = jax.lax.scan(
             body, grid, (poses, scans, mask.astype(jnp.float32))
         )
+        return grid
+
+    def rebuild(poses, scans, mask, n_active: int | None = None):
+        n = capacity if n_active is None else min(int(n_active), capacity)
+        n = ((max(n, 1) + chunk - 1) // chunk) * chunk
+        n = min(n, capacity)
+        grid = make_grid(gcfg)
+        for s in range(0, n, chunk):
+            grid = rebuild_chunk(
+                grid, poses[s : s + chunk], scans[s : s + chunk],
+                mask[s : s + chunk],
+            )
         return grid
 
     return rebuild
@@ -299,7 +316,8 @@ def run_full_slam(
         scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
         mask_buf[:nsub] = 1.0
         submap = rebuild_submap(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf), jnp.asarray(mask_buf)
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+            jnp.asarray(mask_buf), n_active=nsub,
         )
         prior = jnp.asarray(kf_poses[k_new])
         prior_rel = se2.between(anchor, prior)
@@ -362,7 +380,8 @@ def run_full_slam(
         scans_buf2[:nk] = np.stack(kf_scans)
         mask_buf2[:nk] = 1.0
         new_grid = rebuild(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf2), jnp.asarray(mask_buf2)
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf2),
+            jnp.asarray(mask_buf2), n_active=nk,
         )
         state = state._replace(
             logodds=new_grid,

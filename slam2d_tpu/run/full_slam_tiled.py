@@ -39,18 +39,18 @@ from slam2d_tpu.run.full_slam import (
 from slam2d_tpu.grid.tiles import gather_region, scatter_region, world_to_cell_global
 
 
-def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig, capacity: int):
-    """Jitted: re-integrate up to `capacity` keyframe scans into FRESH tiles
-    (coords table kept), refreshing the blurred-field tiles as well."""
+def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
+                          capacity: int, chunk: int = 32):
+    """Re-integrate up to `capacity` keyframe scans into FRESH tiles
+    (coords table kept), refreshing the blurred-field tiles as well.
+    Chunked like make_rebuild_fn: the host loops only over chunks that
+    contain active keyframes."""
     win = tiled_window_cells(tcfg, cfg.sensor, cfg.matcher)
     halo = blur_halo_cells(cfg.matcher, tcfg.resolution)
     gparam = _param_grid_cfg(cfg, tcfg)
 
     @jax.jit
-    def rebuild(coords, poses, scans, mask):
-        grid = tiled_init(tcfg)._replace(coords=coords)
-        sgrid = tiled_init(tcfg)._replace(coords=coords + 0)
-
+    def rebuild_chunk(grid, sgrid, poses, scans, mask):
         def body(carry, inp):
             grid, sgrid = carry
             p, r, m = inp
@@ -73,6 +73,19 @@ def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig, capacity: int):
         (grid, sgrid), _ = jax.lax.scan(
             body, (grid, sgrid), (poses, scans, mask.astype(jnp.float32))
         )
+        return grid, sgrid
+
+    def rebuild(coords, poses, scans, mask, n_active: int | None = None):
+        n = capacity if n_active is None else min(int(n_active), capacity)
+        n = ((max(n, 1) + chunk - 1) // chunk) * chunk
+        n = min(n, capacity)
+        grid = tiled_init(tcfg)._replace(coords=coords)
+        sgrid = tiled_init(tcfg)._replace(coords=coords + 0)
+        for s in range(0, n, chunk):
+            grid, sgrid = rebuild_chunk(
+                grid, sgrid, poses[s : s + chunk], scans[s : s + chunk],
+                mask[s : s + chunk],
+            )
         return grid, sgrid
 
     return rebuild
@@ -167,7 +180,8 @@ def run_full_slam_tiled(
         scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
         mask_buf[:nsub] = 1.0
         submap = rebuild_submap(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf), jnp.asarray(mask_buf)
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+            jnp.asarray(mask_buf), n_active=nsub,
         )
         prior = jnp.asarray(kf_poses[k_new])
         prior_rel = se2.between(anchor, prior)
@@ -225,7 +239,7 @@ def run_full_slam_tiled(
         mask_buf2[:nk] = 1.0
         new_grid, new_sgrid = rebuild_tiles(
             grid.coords, jnp.asarray(poses_buf2), jnp.asarray(scans_buf2),
-            jnp.asarray(mask_buf2),
+            jnp.asarray(mask_buf2), n_active=nk,
         )
         state = state._replace(
             grid=new_grid,
