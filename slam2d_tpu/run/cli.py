@@ -185,11 +185,29 @@ def main(argv=None) -> int:
         gcfg = GraphConfig()
         optimizer = args.optimizer or ("schur" if args.schur else "dense")
         if args.tiled:
-            from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
-
-            res = run_full_slam_tiled(
-                log, cfg, tile_cfg(), gcfg, optimizer=optimizer
+            from slam2d_tpu.run.full_slam_tiled import (
+                fullslam_tiled_ckpt_template, run_full_slam_tiled,
             )
+
+            resume = None
+            if args.resume_state:
+                from slam2d_tpu.utils.checkpoint import load_state
+
+                resume = load_state(
+                    args.resume_state,
+                    fullslam_tiled_ckpt_template(cfg, tile_cfg(), gcfg),
+                )
+                extra["resumed_from"] = args.resume_state
+            offset = args.scan_range[0] if args.scan_range else 0
+            res = run_full_slam_tiled(
+                log, cfg, tile_cfg(), gcfg, optimizer=optimizer,
+                resume=resume, scan_index_offset=offset,
+            )
+            if args.save_state:
+                from slam2d_tpu.utils.checkpoint import save_state
+
+                save_state(args.save_state, res.ckpt)
+                extra["saved_state"] = args.save_state
             extra["tiled"] = True
         else:
             from slam2d_tpu.run.full_slam import (

@@ -91,6 +91,30 @@ def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
     return rebuild
 
 
+def fullslam_tiled_ckpt_template(
+    cfg: FrontendConfig, tcfg: TileConfig, graph_cfg: GraphConfig
+):
+    """Empty checkpoint bundle for the TILED full-SLAM pipeline — same
+    schema as full_slam.fullslam_ckpt_template with the tiled frontend
+    state (tile pool + coords table; the host TileTable is reconstructed
+    from the coords on resume)."""
+    Kmax = graph_cfg.max_nodes
+    B = cfg.sensor.n_beams
+    return {
+        "frontend": tiled_frontend_init(tcfg),
+        "graph": se2_graph.graph_init(graph_cfg),
+        "kf_poses": np.zeros((Kmax, 3), np.float32),
+        "kf_scans": np.zeros((Kmax, B), np.float32),
+        "kf_scan_idx": np.zeros(Kmax, np.int32),
+        "kf_count": np.int32(0),
+        "last_kf_pose": np.zeros(3, np.float32),
+        "loops": np.zeros((graph_cfg.max_edges, 6), np.float32),
+        "n_loops": np.int32(0),
+        "chi2": np.float32(0.0),
+        "cooldown": np.int32(0),
+    }
+
+
 def run_full_slam_tiled(
     log: dict,
     cfg: FrontendConfig,
@@ -102,10 +126,15 @@ def run_full_slam_tiled(
     loop_edge_info: float = 200.0,
     drift_margin: float = 2.0,
     optimizer: str = "dense",
+    resume: dict | None = None,
+    scan_index_offset: int = 0,
 ):
     """optimizer: "dense" (one Cholesky over all keyframes), "schur"
     (keyframe-block eliminated — the form that scales/distributes), or
-    "schur_sharded" (block axis over all visible devices)."""
+    "schur_sharded" (block axis over all visible devices).
+
+    resume / scan_index_offset: continue from FullSLAMResult.ckpt of a
+    previous run, as in run_full_slam."""
     loop_matcher = loop_matcher or default_loop_matcher(graph_cfg)
     odom_np = np.asarray(log["odom"], np.float32)
     ranges_np = np.asarray(log["ranges"], np.float32)
@@ -118,28 +147,54 @@ def run_full_slam_tiled(
     loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
     rebuild_tiles = make_tiled_rebuild_fn(cfg, tcfg, graph_cfg.max_nodes)
 
-    state = tiled_frontend_init(tcfg, start_pose=odom_np[0], start_odom=odom_np[0])
-    table = TileTable(tcfg)
-    graph = se2_graph.graph_init(graph_cfg)
     reach = (
         cfg.sensor.max_range + cfg.matcher.search_xy
         + blur_halo_cells(cfg.matcher, tcfg.resolution) * tcfg.resolution
         + drift_margin
     )
 
-    kf_poses: list[np.ndarray] = []
-    kf_scans: list[np.ndarray] = []
-    kf_scan_idx: list[int] = []
-    loop_records: list[tuple] = []
-    n_loops = 0
-    chi2 = 0.0
+    table = TileTable(tcfg)
+    if resume is not None:
+        state = jax.tree.map(jnp.asarray, resume["frontend"])
+        graph = jax.tree.map(jnp.asarray, resume["graph"])
+        # rebuild the host slot table from the restored coords (slots are
+        # assigned sequentially, so insertion order == slot index)
+        coords_np = np.asarray(state.grid.coords)
+        from slam2d_tpu.grid.tiles import FREE_SLOT
+
+        for slot in range(tcfg.n_slots):
+            if coords_np[slot, 0] > FREE_SLOT:
+                table.slot_of[(int(coords_np[slot, 0]), int(coords_np[slot, 1]))] = slot
+        kc = int(resume["kf_count"])
+        kf_poses = [np.asarray(resume["kf_poses"][k]) for k in range(kc)]
+        kf_scans = [np.asarray(resume["kf_scans"][k]) for k in range(kc)]
+        kf_scan_idx = [int(resume["kf_scan_idx"][k]) for k in range(kc)]
+        nl = int(resume["n_loops"])
+        loop_records = [tuple(np.asarray(resume["loops"][k])) for k in range(nl)]
+        n_loops = nl
+        chi2 = float(resume["chi2"])
+        init_cooldown = int(resume["cooldown"])
+        init_last_kf = np.asarray(resume["last_kf_pose"]) if kc > 0 else None
+    else:
+        state = tiled_frontend_init(
+            tcfg, start_pose=odom_np[0], start_odom=odom_np[0]
+        )
+        graph = se2_graph.graph_init(graph_cfg)
+        kf_poses = []
+        kf_scans = []
+        kf_scan_idx = []
+        loop_records = []
+        n_loops = 0
+        chi2 = 0.0
+        init_cooldown = 0
+        init_last_kf = None
     traj_out = np.zeros((T, 3), np.float32)
 
     def admit_keyframe(pose, scan_i):
         nonlocal graph
         kf_poses.append(pose.copy())
         kf_scans.append(ranges_np[scan_i])
-        kf_scan_idx.append(scan_i)
+        kf_scan_idx.append(scan_i + scan_index_offset)  # absolute index
         graph = se2_graph.add_node(graph, jnp.asarray(pose))
         k = len(kf_poses) - 1
         if k > 0:
@@ -222,7 +277,10 @@ def run_full_slam_tiled(
         corrected = np.asarray(graph.poses[: len(kf_poses)])
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
-        _retro_correct_traj(traj_out, kf_scan_idx, old_kf, corrected, scan_i)
+        _retro_correct_traj(
+            traj_out, kf_scan_idx, old_kf, corrected, scan_i,
+            offset=scan_index_offset,
+        )
         last = jnp.asarray(kf_poses[-1])
         delta = se2.between(prior, state.pose)
         new_pose = se2.compose(last, delta)
@@ -249,8 +307,8 @@ def run_full_slam_tiled(
         )
         return True
 
-    last_kf_pose = None
-    cooldown = 0
+    last_kf_pose = init_last_kf
+    cooldown = init_cooldown
     for s0 in range(0, T, K):
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
@@ -294,6 +352,25 @@ def run_full_slam_tiled(
                 elif try_close_loop(k_new, scan_i):
                     cooldown = graph_cfg.loop_cooldown
 
+    ckpt = fullslam_tiled_ckpt_template(cfg, tcfg, graph_cfg)
+    ckpt["frontend"] = state
+    ckpt["graph"] = graph
+    nk = len(kf_poses)
+    if nk:
+        ckpt["kf_poses"][:nk] = np.stack(kf_poses)
+        ckpt["kf_scans"][:nk] = np.stack(kf_scans)
+        ckpt["kf_scan_idx"][:nk] = np.asarray(kf_scan_idx, np.int32)
+        ckpt["last_kf_pose"] = np.asarray(
+            last_kf_pose if last_kf_pose is not None else kf_poses[-1],
+            np.float32,
+        )
+    ckpt["kf_count"] = np.int32(nk)
+    if loop_records:
+        ckpt["loops"][:n_loops] = np.asarray(loop_records, np.float32)
+    ckpt["n_loops"] = np.int32(n_loops)
+    ckpt["chi2"] = np.float32(chi2)
+    ckpt["cooldown"] = np.int32(cooldown)
+
     return FullSLAMResult(
         traj=traj_out,
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
@@ -302,4 +379,5 @@ def run_full_slam_tiled(
         grid=state.grid,   # the TiledGrid (stitch with grid.tiles.stitch_tiles)
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
+        ckpt=ckpt,
     )

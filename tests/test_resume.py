@@ -90,3 +90,58 @@ def test_full_slam_split_run_matches_single_run(tmp_path):
     np.testing.assert_array_equal(res_b.kf_scan_idx, full.kf_scan_idx)
     np.testing.assert_allclose(res_b.kf_poses, full.kf_poses, atol=1e-3)
     np.testing.assert_allclose(res_b.traj, full.traj[cut:], atol=1e-3)
+
+
+def test_tiled_full_slam_split_run_matches_single_run(tmp_path):
+    """Tiled (unbounded-world) full SLAM resumes mid-log: restored tile
+    pool + slot table + graph reproduce the single run's keyframes and
+    post-split trajectory."""
+    from slam2d_tpu.config import GraphConfig
+    from slam2d_tpu.grid.tiles import TileConfig
+    from slam2d_tpu.run.full_slam_tiled import (
+        fullslam_tiled_ckpt_template,
+        run_full_slam_tiled,
+    )
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=120, max_range=12.0),
+        grid=GridConfig(resolution=0.1, ray_samples=128),  # params only
+        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
+        chunk=16,
+        bootstrap_dist=2.0,
+    )
+    tcfg = TileConfig(tile=128, n_slots=32, resolution=0.1)
+    gcfg = GraphConfig(
+        max_nodes=128, max_edges=512, keyframe_dist=0.5,
+        loop_min_gap=10, loop_radius=2.5, loop_score_accept=0.35,
+        gn_iters=10,
+    )
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 10.0],
+         [3.0, 3.8]]
+    )
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.15,
+        odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5,
+    )
+    T = len(log["odom"])
+    cut = (T // 2 // cfg.chunk) * cfg.chunk
+
+    full = run_full_slam_tiled(log, cfg, tcfg, gcfg)
+    assert full.n_loops >= 1
+
+    first = {k: v[:cut] for k, v in log.items()}
+    second = {k: v[cut:] for k, v in log.items()}
+    res_a = run_full_slam_tiled(first, cfg, tcfg, gcfg)
+    path = save_state(str(tmp_path / "fst_ck"), res_a.ckpt)
+    restored = load_state(path, fullslam_tiled_ckpt_template(cfg, tcfg, gcfg))
+    res_b = run_full_slam_tiled(
+        second, cfg, tcfg, gcfg, resume=restored, scan_index_offset=cut
+    )
+
+    assert res_b.n_loops == full.n_loops
+    np.testing.assert_array_equal(res_b.kf_scan_idx, full.kf_scan_idx)
+    np.testing.assert_allclose(res_b.kf_poses, full.kf_poses, atol=1e-3)
+    np.testing.assert_allclose(res_b.traj, full.traj[cut:], atol=1e-3)
