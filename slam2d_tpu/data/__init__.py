@@ -1,4 +1,9 @@
-from slam2d_tpu.data.carmen import load_json_log  # noqa: F401
+from slam2d_tpu.data.carmen import (  # noqa: F401
+    carmen_to_json,
+    load_json_log,
+    save_carmen_log,
+    save_json_log,
+)
 from slam2d_tpu.data.carmen import load_carmen_log as _load_carmen_py
 from slam2d_tpu.data.synth import SynthWorld, simulate_log  # noqa: F401
 

@@ -103,3 +103,61 @@ def _num_or_str(k):
         return (0, float(k))
     except (TypeError, ValueError):
         return (1, str(k))
+
+
+def save_carmen_log(path: str, log: dict) -> str:
+    """Write a {odom, ranges} log as CARMEN FLASER lines (the raw-log
+    format load_carmen_log reads). The laser pose is written equal to the
+    odometry pose, timestamps are synthetic."""
+    odom = np.asarray(log["odom"], np.float64)
+    ranges = np.asarray(log["ranges"], np.float64)
+    n = ranges.shape[1]
+    with open(path, "w") as f:
+        for t in range(len(odom)):
+            r = " ".join(f"{v:.6f}" for v in ranges[t])
+            x, y, th = odom[t]
+            pose = f"{x:.6f} {y:.6f} {th:.6f}"
+            f.write(f"FLASER {n} {r} {pose} {pose} {float(t):.6f} synth {float(t):.6f}\n")
+    return path
+
+
+def save_json_log(path: str, log: dict) -> str:
+    """Write a {odom, ranges} log in the reference's preprocessed-JSON
+    shape (list of {x, y, theta, range} records) — the output format of
+    the reference's DataPreprocess step."""
+    odom = np.asarray(log["odom"], np.float64)
+    ranges = np.asarray(log["ranges"], np.float64)
+    records = [
+        {
+            "x": float(odom[t, 0]),
+            "y": float(odom[t, 1]),
+            "theta": float(odom[t, 2]),
+            "range": [float(v) for v in ranges[t]],
+        }
+        for t in range(len(odom))
+    ]
+    with open(path, "w") as f:
+        json.dump(records, f)
+    return path
+
+
+def carmen_to_json(path_in: str, path_out: str) -> str:
+    """Preprocess a raw CARMEN log into the reference-style JSON log
+    (the reference's DataPreprocess.py equivalent)."""
+    return save_json_log(path_out, load_carmen_log(path_in))
+
+
+def main(argv=None) -> int:
+    """CLI: python -m slam2d_tpu.data.carmen in.clf out.json"""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 2:
+        print("usage: python -m slam2d_tpu.data.carmen IN.clf OUT.json")
+        return 2
+    carmen_to_json(args[0], args[1])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

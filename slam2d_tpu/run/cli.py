@@ -53,10 +53,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--search-xy", type=float, default=0.3)
     p.add_argument("--search-theta", type=float, default=0.15)
     p.add_argument("--n-theta", type=int, default=13)
+    # kernel dispatch overrides (defaults pick per backend/context)
+    p.add_argument("--score-impl", default="auto",
+                   choices=["auto", "gather", "mxu", "emx", "pallas"],
+                   help="candidate-scoring kernel (auto: mxu on TPU, "
+                        "gather on CPU; PF refinement auto-picks emx)")
+    p.add_argument("--update-impl", default="auto",
+                   choices=["auto", "sparse", "sparse_mxu", "dense", "pallas"],
+                   help="scan-integration kernel (auto: matmul accumulation "
+                        "on TPU, scatter on CPU)")
     # pf
     p.add_argument("--particles", type=int, default=32)
     p.add_argument("--shard", action="store_true",
                    help="shard particles over all visible devices")
+    p.add_argument("--map-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="per-particle map storage dtype (fastslam mode)")
+    p.add_argument("--refine-chunk", type=int, default=0,
+                   help="process per-particle refinement/update in chunks "
+                        "of this size (bounds HBM at 1000+ particles)")
     # misc
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -117,10 +132,11 @@ def main(argv=None) -> int:
             resolution=args.resolution,
             ray_samples=int(args.max_range / args.resolution) + 16,
             center_x=float(cx), center_y=float(cy),
+            update_impl=args.update_impl,
         ),
         matcher=MatcherConfig(
             search_xy=args.search_xy, search_theta=args.search_theta,
-            n_theta=args.n_theta,
+            n_theta=args.n_theta, score_impl=args.score_impl,
         ),
         chunk=args.chunk,
     )
@@ -167,7 +183,10 @@ def main(argv=None) -> int:
         from slam2d_tpu.config import PFConfig
         from slam2d_tpu.run.fastslam_run import run_fastslam
 
-        pf = PFConfig(n_particles=args.particles)
+        pf = PFConfig(
+            n_particles=args.particles, map_dtype=args.map_dtype,
+            refine_chunk=args.refine_chunk,
+        )
         if args.shard:
             from slam2d_tpu.run.sharded_run import run_sharded_fastslam
 

@@ -161,3 +161,33 @@ def test_profiler_trace(tmp_path):
     # a profile directory with at least one trace artifact appears
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files)
+
+
+def test_carmen_writers_roundtrip(tmp_path):
+    """save_carmen_log / save_json_log / carmen_to_json round-trip a
+    synthetic log through both on-disk formats."""
+    import numpy as np
+
+    from slam2d_tpu.data.carmen import (
+        carmen_to_json,
+        load_carmen_log,
+        load_json_log,
+        save_carmen_log,
+    )
+
+    rng = np.random.default_rng(3)
+    log = {
+        "odom": rng.normal(size=(12, 3)).astype(np.float32),
+        "ranges": rng.uniform(0.3, 11.0, (12, 30)).astype(np.float32),
+    }
+    clf = str(tmp_path / "synth.clf")
+    save_carmen_log(clf, log)
+    back = load_carmen_log(clf)
+    np.testing.assert_allclose(back["odom"], log["odom"], atol=1e-5)
+    np.testing.assert_allclose(back["ranges"], log["ranges"], atol=1e-5)
+
+    js = str(tmp_path / "synth.json")
+    carmen_to_json(clf, js)
+    back2 = load_json_log(js)
+    np.testing.assert_allclose(back2["odom"], log["odom"], atol=1e-5)
+    np.testing.assert_allclose(back2["ranges"], log["ranges"], atol=1e-5)
