@@ -68,6 +68,7 @@ def raycast_update(
     sensor: SensorConfig,
     enable=1.0,
     origin_xy=None,
+    origin_rc=None,
     accumulate: str = "scatter",
 ):
     """Integrate one scan taken from `pose` into the log-odds grid.
@@ -80,6 +81,11 @@ def raycast_update(
         caller gate the update (motion filter) without dynamic control flow.
       origin_xy: world (x, y) of cell (0, 0); defaults to the grid config's
         origin — pass the window origin when updating a window.
+      origin_rc: integer (row, col) of the window's top-left cell ON THE
+        CONFIG GRID's lattice. When given it takes precedence over
+        origin_xy and cell indices are computed as full-grid floor minus
+        the integer offset — bit-exact with the full-grid path (a float
+        window origin rounds boundary-straddling samples differently).
       accumulate: "scatter" (XLA scatter-add — fine on CPU) or "mxu"
         (one-hot matmul accumulation — the fast TPU path). Same samples,
         same result up to float summation order.
@@ -87,10 +93,16 @@ def raycast_update(
       updated [H, W] log-odds.
     """
     H, W = logodds.shape
-    if origin_xy is None:
+    if origin_rc is not None:
         ox, oy = cfg.origin_x, cfg.origin_y
+        roff = origin_rc[0].astype(jnp.int32)
+        coff = origin_rc[1].astype(jnp.int32)
     else:
-        ox, oy = origin_xy
+        roff = coff = jnp.int32(0)
+        if origin_xy is None:
+            ox, oy = cfg.origin_x, cfg.origin_y
+        else:
+            ox, oy = origin_xy
     angles = beam_angles(sensor) + pose[2]          # [B] world bearing
     r = ranges.astype(jnp.float32)
     valid = (r > sensor.min_range) & jnp.isfinite(r)
@@ -108,8 +120,8 @@ def raycast_update(
     d = r_free[:, None] * frac[None, :]                          # [B, S]
     fx = pose[0] + dirx[:, None] * d
     fy = pose[1] + diry[:, None] * d
-    fcol = jnp.floor((fx - ox) / cfg.resolution).astype(jnp.int32)
-    frow = jnp.floor((fy - oy) / cfg.resolution).astype(jnp.int32)
+    fcol = jnp.floor((fx - ox) / cfg.resolution).astype(jnp.int32) - coff
+    frow = jnp.floor((fy - oy) / cfg.resolution).astype(jnp.int32) - roff
 
     # Per-sample increment scaled so that a traversed cell accumulates about
     # l_free total regardless of how many of the S samples land inside it.
@@ -125,8 +137,8 @@ def raycast_update(
     # --- endpoint (occupied) samples ---------------------------------------
     ex = pose[0] + dirx * r_clip
     ey = pose[1] + diry * r_clip
-    ecol = jnp.floor((ex - ox) / cfg.resolution).astype(jnp.int32)
-    erow = jnp.floor((ey - oy) / cfg.resolution).astype(jnp.int32)
+    ecol = jnp.floor((ex - ox) / cfg.resolution).astype(jnp.int32) - coff
+    erow = jnp.floor((ey - oy) / cfg.resolution).astype(jnp.int32) - roff
     e_in = (erow >= 0) & (erow < H) & (ecol >= 0) & (ecol < W)
     occ_w = jnp.where(hit & e_in, cfg.l_occ, 0.0)                # [B]
     erow = jnp.clip(erow, 0, H - 1)
@@ -257,14 +269,26 @@ def raycast_update_dense(
 
 def integrate_scan(
     logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig,
-    enable=1.0, origin_xy=None,
+    enable=1.0, origin_xy=None, origin_rc=None,
 ):
     """Scan integration dispatcher: GridConfig.update_impl picks the kernel
     ("sparse" | "sparse_mxu" | "auto" | "dense" | "pallas"). "auto" =
     sampled rays with scatter-add accumulation on CPU and one-hot-matmul
-    accumulation on TPU (where XLA's scatter serializes)."""
+    accumulation on TPU (where XLA's scatter serializes).
+
+    origin_rc: integer window offset on the config grid's lattice (see
+    raycast_update) — the sparse paths use it for bit-exact windowed
+    updates; the dense/pallas inverse-sensor-model kernels evaluate
+    continuous cell centers, so they derive the equivalent float origin."""
     import jax as _jax
 
+    if origin_rc is not None and cfg.update_impl in ("pallas", "dense"):
+        origin_xy = (
+            cfg.origin_x
+            + origin_rc[1].astype(jnp.float32) * cfg.resolution,
+            cfg.origin_y
+            + origin_rc[0].astype(jnp.float32) * cfg.resolution,
+        )
     if cfg.update_impl == "pallas":
         from slam2d_tpu.ops.pallas_update import pallas_dense_update
 
@@ -286,7 +310,7 @@ def integrate_scan(
         acc = "scatter"
     return raycast_update(
         logodds, pose, ranges, cfg, sensor, enable=enable,
-        origin_xy=origin_xy, accumulate=acc,
+        origin_xy=origin_xy, origin_rc=origin_rc, accumulate=acc,
     )
 
 

@@ -44,6 +44,26 @@ def scan_window_cells(
     return min(size, min(gcfg.height, gcfg.width))
 
 
+def update_window_cells(
+    gcfg: GridConfig, sensor: SensorConfig, mcfg: MatcherConfig | None = None
+) -> int:
+    """Static window size covering everything one scan's MAP UPDATE can
+    touch: endpoints (max_range) + slack — WITHOUT the translation-search
+    margin a match window needs (scatter/matmul update cost scales with the
+    target window area, so the update should use the smallest safe window).
+
+    Pass `mcfg` when the caller rebuilds the cached blurred search space
+    from this window: the window then also covers the blur halo around
+    every touched cell PLUS the halo ring `write_window_blur_exact` trims
+    on writeback (2x halo total)."""
+    half = int(math.ceil(sensor.max_range / gcfg.resolution)) + 8
+    if mcfg is not None:
+        half += 2 * blur_halo_cells(mcfg, gcfg.resolution)
+    size = 2 * half
+    size = ((size + 7) // 8) * 8
+    return min(size, min(gcfg.height, gcfg.width))
+
+
 def window_origin(center_rc, size: int, H: int, W: int):
     """Top-left (row, col) of a size x size window centered near center_rc,
     clamped so the window lies fully inside the grid."""

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
-from slam2d_tpu.grid.window import extract_window, scan_window_cells, write_window
+from slam2d_tpu.grid.window import (
+    extract_window,
+    scan_window_cells,
+    update_window_cells,
+    write_window,
+)
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
@@ -75,18 +80,16 @@ def _windowed_match(grid, ranges, prior, cfg: FrontendConfig, mcfg=None):
 
 def _windowed_update(grid, pose, ranges, cfg: FrontendConfig, enable=1.0):
     """Per-particle map update restricted to the scan's static window
-    (the scatter cost scales with the target array size on TPU)."""
-    win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    (the scatter cost scales with the target array size on TPU). Uses the
+    update-only window (max_range, no search/blur margin) — the PF rebuilds
+    its blurred field per refinement, so no cached blur needs widening."""
+    win = update_window_cells(cfg.grid, cfg.sensor)
     if win >= min(cfg.grid.height, cfg.grid.width):
         return integrate_scan(grid, pose, ranges, cfg.grid, cfg.sensor, enable=enable)
     center = world_to_cell(pose[:2], cfg.grid)
     gw, orc = extract_window(grid, center, win)
-    origin = (
-        cfg.grid.origin_x + orc[1].astype(jnp.float32) * cfg.grid.resolution,
-        cfg.grid.origin_y + orc[0].astype(jnp.float32) * cfg.grid.resolution,
-    )
     gw = integrate_scan(
-        gw, pose, ranges, cfg.grid, cfg.sensor, enable=enable, origin_xy=origin
+        gw, pose, ranges, cfg.grid, cfg.sensor, enable=enable, origin_rc=orc
     )
     return write_window(grid, gw, orc)
 

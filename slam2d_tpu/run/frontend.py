@@ -23,6 +23,7 @@ from slam2d_tpu.grid.window import (
     blur_halo_cells,
     extract_window,
     scan_window_cells,
+    update_window_cells,
     write_window,
     write_window_blur_exact,
 )
@@ -79,6 +80,11 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
 
     win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
     windowed = win < min(cfg.grid.height, cfg.grid.width)
+    # The update touches only max_range (+ blur halo for the cached-field
+    # rebuild), not the match's translation-search margin — a smaller
+    # window cuts the scatter/blur cost (both scale with window area).
+    uwin = update_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+    uwindowed = uwin < min(cfg.grid.height, cfg.grid.width)
 
     def match_branch(_):
         if not windowed:
@@ -112,7 +118,7 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     )
 
     def update_branch(_):
-        if not windowed:
+        if not uwindowed:
             logodds = integrate_scan(
                 state.logodds, pose, ranges, cfg.grid, cfg.sensor
             )
@@ -120,13 +126,9 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
                 logodds, cfg.matcher, cfg.grid.resolution
             )
         center = world_to_cell(pose[:2], cfg.grid)
-        gw, (r0, c0) = extract_window(state.logodds, center, win)
-        origin = (
-            cfg.grid.origin_x + c0.astype(jnp.float32) * cfg.grid.resolution,
-            cfg.grid.origin_y + r0.astype(jnp.float32) * cfg.grid.resolution,
-        )
+        gw, (r0, c0) = extract_window(state.logodds, center, uwin)
         gw = integrate_scan(
-            gw, pose, ranges, cfg.grid, cfg.sensor, origin_xy=origin
+            gw, pose, ranges, cfg.grid, cfg.sensor, origin_rc=(r0, c0)
         )
         logodds = write_window(state.logodds, gw, (r0, c0))
         # Recompute the blurred field on the window; the outer blur-halo

@@ -68,6 +68,30 @@ def test_windowed_step_matches_full_reference():
     np.testing.assert_allclose(S_got, S_ref, atol=1e-5)
 
 
+def test_update_window_matches_full_update():
+    """The PF's update-only window (no search/blur margin) must reproduce
+    the full-grid scan integration exactly — including when the pose sits
+    close enough to a grid border that the window clamps."""
+    from slam2d_tpu.grid.occupancy import integrate_scan
+    from slam2d_tpu.grid.window import update_window_cells
+    from slam2d_tpu.pf.fastslam import _windowed_update
+
+    cfg = _cfg()
+    uwin = update_window_cells(cfg.grid, cfg.sensor)
+    assert uwin < scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
+
+    world = SynthWorld.box_rooms(20.0)
+    angles = np.asarray(cfg.sensor.beam_angles())
+    # interior pose + a pose near the grid's low-x/low-y world corner
+    for p in (np.array([10.0, 10.0, 0.3]), np.array([-13.5, -13.5, 2.0])):
+        r = jnp.asarray(world.raycast(p, angles, cfg.sensor.max_range), jnp.float32)
+        grid = frontend_init(cfg).logodds
+        pose = jnp.asarray(p, jnp.float32)
+        full = integrate_scan(grid, pose, r, cfg.grid, cfg.sensor)
+        win = _windowed_update(grid, pose, r, cfg)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(full), atol=1e-6)
+
+
 def test_windowed_match_equals_full_match():
     cfg = _cfg()
     world = SynthWorld.box_rooms(20.0)
