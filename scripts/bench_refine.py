@@ -101,6 +101,15 @@ def main():
         dataclasses.replace(m, score_impl="emx", coarse_factor=2),
         maps, priors, ranges,
     )
+    time_variant(
+        "cmx_bf16 (pallas shift-correlation)", cfg,
+        dataclasses.replace(m, score_impl="cmx"), maps, priors, ranges,
+    )
+    time_variant(
+        "cmx_f32", cfg,
+        dataclasses.replace(m, score_impl="cmx", score_bf16=False),
+        maps, priors, ranges,
+    )
     time_variant("mxu_bf16 (current default)", cfg, m, maps, priors, ranges)
     time_variant(
         "mxu_f32", cfg, dataclasses.replace(m, score_bf16=False),

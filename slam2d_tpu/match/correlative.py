@@ -115,15 +115,17 @@ def _theta_offsets(mcfg: MatcherConfig) -> np.ndarray:
 
 def _resolve_impl(impl: str) -> str:
     """"auto" = frontend-style single big match (mxu wins on TPU);
-    "auto_refine" = vmapped per-particle refinement (emx wins: measured
-    12.8 ms vs 16.3 ms per FastSLAM-100 refine)."""
+    "auto_refine" = vmapped per-particle refinement (cmx — the Pallas
+    shift-correlation kernel — wins: measured 10.1 ms vs emx 12.9 ms vs
+    mxu 16.5 ms per FastSLAM-100 refine; it reads E and S once from VMEM
+    instead of materializing the R*C shift stack in HBM)."""
     if impl not in ("auto", "auto_refine"):
         return impl
     import jax
 
     if jax.default_backend() != "tpu":
         return "gather"
-    return "emx" if impl == "auto_refine" else "mxu"
+    return "cmx" if impl == "auto_refine" else "mxu"
 
 
 def score_offsets(
@@ -171,11 +173,27 @@ def score_offsets(
 
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
-    if impl in ("mxu", "emx"):
+    if impl in ("mxu", "emx", "cmx"):
         # requires drows/dcols to be contiguous symmetric ranges (they are,
         # for both matcher passes) — these paths derive offsets from R, C
-        from slam2d_tpu.ops.mxu_score import score_offsets_emx, score_offsets_mxu
+        from slam2d_tpu.ops.mxu_score import (
+            score_offsets_cmx,
+            score_offsets_emx,
+            score_offsets_mxu,
+        )
 
+        if impl == "cmx":
+            import jax
+
+            return (
+                score_offsets_cmx(
+                    S, pos_row, pos_col, valid,
+                    R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
+                    use_bf16=use_bf16,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                / denom
+            )
         fn = score_offsets_emx if impl == "emx" else score_offsets_mxu
         return (
             fn(

@@ -109,6 +109,80 @@ def score_offsets_mxu(
     return out.reshape(T, B, R, C).sum(axis=1)
 
 
+def _endpoint_splat(H, W, r0, c0, fr, fc, ok, cdtype):
+    """Beam-endpoint splat image E [T, H, W]: the bilinear 4-corner splat of
+    every valid endpoint, as one [H, B] @ [B, W] matmul per theta (soft
+    one-hot outer product). The validity mask rides on the row factor only
+    (the outer product then zeroes the whole beam)."""
+    h_iota = jnp.arange(H, dtype=jnp.int32)
+    w_iota = jnp.arange(W, dtype=jnp.int32)
+    okf = ok.astype(jnp.float32)
+    R1 = (
+        (r0[:, :, None] == h_iota) * ((1.0 - fr) * okf)[:, :, None]
+        + ((r0 + 1)[:, :, None] == h_iota) * (fr * okf)[:, :, None]
+    ).astype(cdtype)                                     # [T, B, H]
+    C1 = (
+        (c0[:, :, None] == w_iota) * (1.0 - fc)[:, :, None]
+        + ((c0 + 1)[:, :, None] == w_iota) * fc[:, :, None]
+    ).astype(cdtype)                                     # [T, B, W]
+    return jax.lax.dot_general(
+        R1, C1,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(cdtype)                                     # [T, H, W]
+
+
+def _splat_inputs(S_shape, pos_row, pos_col, valid, R, C, bilinear):
+    """Shared endpoint->corner/validity prep for the emx and cmx scorers
+    (identical boundary semantics: a beam whose (R+1)x(C+1) patch leaves
+    the window is dropped for ALL offsets)."""
+    H, W = S_shape
+    ra, ca = R // 2, C // 2
+    r0f = jnp.floor(pos_row) if bilinear else jnp.round(pos_row)
+    c0f = jnp.floor(pos_col) if bilinear else jnp.round(pos_col)
+    fr = pos_row - r0f if bilinear else jnp.zeros_like(pos_row)
+    fc = pos_col - c0f if bilinear else jnp.zeros_like(pos_col)
+    r0 = r0f.astype(jnp.int32) - ra
+    c0 = c0f.astype(jnp.int32) - ca
+    ok = (
+        (r0 >= 0) & (r0 <= H - (R + 1))
+        & (c0 >= 0) & (c0 <= W - (C + 1))
+        & valid[None, :]
+    )
+    r0 = jnp.clip(r0, 0, H - (R + 1))
+    c0 = jnp.clip(c0, 0, W - (C + 1))
+    return r0, c0, fr, fc, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("R", "C", "bilinear", "use_bf16", "interpret")
+)
+def score_offsets_cmx(
+    S,
+    pos_row,
+    pos_col,
+    valid,
+    R: int,
+    C: int,
+    bilinear: bool = True,
+    use_bf16: bool = True,
+    interpret: bool = False,
+):
+    """Same contract as score_offsets_emx, but the lag correlation
+    <E_t, S shifted> runs as a Pallas VMEM kernel (ops/pallas_corr.py)
+    instead of a matmul against an HBM-materialized R*C shift stack."""
+    from slam2d_tpu.ops.pallas_corr import corr_scores_pallas
+
+    H, W = S.shape
+    T, B = pos_row.shape
+    cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    r0, c0, fr, fc, ok = _splat_inputs((H, W), pos_row, pos_col, valid, R, C, bilinear)
+    E = _endpoint_splat(H, W, r0, c0, fr, fc, ok, cdtype)
+    Sp = jnp.pad(S, ((0, R), (0, C)))
+    out = corr_scores_pallas(E, Sp, R, C, interpret=interpret)
+    return out.reshape(T, R, C)
+
+
 @functools.partial(
     jax.jit, static_argnames=("R", "C", "bilinear", "use_bf16")
 )
@@ -147,45 +221,9 @@ def score_offsets_emx(
     """
     H, W = S.shape
     T, B = pos_row.shape
-    ra, ca = R // 2, C // 2
-
-    r0f = jnp.floor(pos_row) if bilinear else jnp.round(pos_row)
-    c0f = jnp.floor(pos_col) if bilinear else jnp.round(pos_col)
-    fr = pos_row - r0f if bilinear else jnp.zeros_like(pos_row)
-    fc = pos_col - c0f if bilinear else jnp.zeros_like(pos_col)
-    r0 = r0f.astype(jnp.int32) - ra
-    c0 = c0f.astype(jnp.int32) - ca
-
-    ok = (
-        (r0 >= 0) & (r0 <= H - (R + 1))
-        & (c0 >= 0) & (c0 <= W - (C + 1))
-        & valid[None, :]
-    )
-    r0 = jnp.clip(r0, 0, H - (R + 1))
-    c0 = jnp.clip(c0, 0, W - (C + 1))
-
+    r0, c0, fr, fc, ok = _splat_inputs((H, W), pos_row, pos_col, valid, R, C, bilinear)
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
-
-    # soft one-hots: 2 nonzeros per beam per axis (bilinear corners); the
-    # validity mask rides on the row factor only (the outer product then
-    # zeroes the whole beam)
-    h_iota = jnp.arange(H, dtype=jnp.int32)
-    w_iota = jnp.arange(W, dtype=jnp.int32)
-    okf = ok.astype(jnp.float32)
-    R1 = (
-        (r0[:, :, None] == h_iota) * ((1.0 - fr) * okf)[:, :, None]
-        + ((r0 + 1)[:, :, None] == h_iota) * (fr * okf)[:, :, None]
-    ).astype(cdtype)                                     # [T, B, H]
-    C1 = (
-        (c0[:, :, None] == w_iota) * (1.0 - fc)[:, :, None]
-        + ((c0 + 1)[:, :, None] == w_iota) * fc[:, :, None]
-    ).astype(cdtype)                                     # [T, B, W]
-
-    E = jax.lax.dot_general(
-        R1, C1,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(cdtype)                                     # [T, H, W]
+    E = _endpoint_splat(H, W, r0, c0, fr, fc, ok, cdtype)
 
     # shift stack: S2[dr*C + dc] = S shifted by (dr, dc), zero-padded —
     # in-bounds beams never read the padding (their patch is interior)

@@ -37,17 +37,7 @@ from slam2d_tpu.match.correlative import (
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
 
-def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None,
-                    chunk: int = 32):
-    """Re-raycast up to `capacity` keyframe scans into a fresh grid.
-
-    The device work is a jitted CHUNK of `chunk` scans; the host loops
-    only over chunks that contain active keyframes (n_active), so a
-    7-keyframe submap costs one chunk instead of a `capacity`(=512)-step
-    lax.scan — loop-closure scoring and post-loop rebuilds dominate the
-    config-5 wall clock otherwise."""
-    gcfg = grid_cfg or cfg.grid
-
+def _make_rebuild_chunk(cfg: FrontendConfig, gcfg):
     @jax.jit
     def rebuild_chunk(grid, poses, scans, mask):
         def body(g, inp):
@@ -62,6 +52,21 @@ def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None,
         )
         return grid
 
+    return rebuild_chunk
+
+
+def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None,
+                    chunk: int = 32):
+    """Re-raycast up to `capacity` keyframe scans into a fresh grid.
+
+    The device work is a jitted CHUNK of `chunk` scans; the host loops
+    only over chunks that contain active keyframes (n_active), so a
+    7-keyframe submap costs one chunk instead of a `capacity`(=512)-step
+    lax.scan — loop-closure scoring and post-loop rebuilds dominate the
+    config-5 wall clock otherwise."""
+    gcfg = grid_cfg or cfg.grid
+    rebuild_chunk = _make_rebuild_chunk(cfg, gcfg)
+
     def rebuild(poses, scans, mask, n_active: int | None = None):
         n = capacity if n_active is None else min(int(n_active), capacity)
         n = ((max(n, 1) + chunk - 1) // chunk) * chunk
@@ -75,6 +80,96 @@ def make_rebuild_fn(cfg: FrontendConfig, capacity: int, grid_cfg=None,
         return grid
 
     return rebuild
+
+
+def snap_render_poses(poses, n, map_poses, n_prev, eps_xy, eps_th):
+    """Snap sub-eps pose corrections to the previously-RENDERED pose.
+
+    Pose-graph corrections move EVERY keyframe by a float epsilon, but
+    only poses that moved a meaningful fraction of a cell change the
+    rendered map. Snapping lets the incremental rebuilders keep a long
+    bit-exact prefix. Returns (snapped poses copy, k0) where k0 is the
+    first keyframe index whose rendered pose changed (== n when nothing
+    did). Mutates nothing; the graph/trajectory keep exact poses."""
+    poses = np.array(poses, np.float32, copy=True)
+    m = min(n, n_prev)
+    if m == 0:
+        return poses, 0
+    d = np.hypot(
+        poses[:m, 0] - map_poses[:m, 0], poses[:m, 1] - map_poses[:m, 1]
+    )
+    dth = (poses[:m, 2] - map_poses[:m, 2] + np.pi) % (2 * np.pi) - np.pi
+    same = (d <= eps_xy) & (np.abs(dth) <= eps_th)
+    poses[:m][same] = map_poses[:m][same]
+    k0 = m if bool(same.all()) else int(np.argmax(~same))
+    return poses, k0
+
+
+class IncrementalRebuilder:
+    """Post-loop map rebuild that re-raycasts only keyframes whose
+    RENDERED pose moved (ROADMAP "map rebuild frequency").
+
+    Gauss-Newton corrections leave a long prefix of early keyframes
+    essentially fixed (node 0 is anchored; error spreads toward the
+    loop), yet the naive rebuild re-raycasts all of them on every
+    accepted loop — the dominating cost at MIT-Killian scale. This
+    wrapper (a) snaps sub-quarter-cell corrections to the previously
+    rendered pose, and (b) replays integration from a chunk-aligned
+    cached prefix grid up to the first keyframe whose rendered pose
+    changed. The result is bit-exact vs a from-scratch rebuild at the
+    same snapped poses: the prefix replay is the identical integration
+    sequence from the identical empty grid (log-odds clamping included).
+
+    The snapped render poses are part of the resumable pipeline state
+    (ckpt key "map_poses") so a split run reproduces the single run's
+    maps; the prefix grid itself is NOT checkpointed — the first rebuild
+    after a resume pays one full replay and re-primes the cache."""
+
+    def __init__(self, cfg: FrontendConfig, capacity: int, grid_cfg=None,
+                 chunk: int = 32, eps_cells: float = 0.25):
+        gcfg = grid_cfg or cfg.grid
+        self.gcfg = gcfg
+        self.capacity = capacity
+        self.chunk = chunk
+        self.eps_xy = eps_cells * gcfg.resolution
+        self.eps_th = eps_cells * gcfg.resolution / max(cfg.sensor.max_range, 1e-6)
+        self._rebuild_chunk = _make_rebuild_chunk(cfg, gcfg)
+        self.map_poses = np.zeros((capacity, 3), np.float32)
+        self.n_prev = 0
+        self.cache_grid = None
+        self.cache_k = 0
+
+    def restore(self, map_poses, n_prev: int):
+        self.map_poses[: len(map_poses)] = np.asarray(map_poses, np.float32)
+        self.n_prev = int(n_prev)
+        self.cache_grid = None
+        self.cache_k = 0
+
+    def __call__(self, poses, scans, mask, n_active: int | None = None):
+        n = self.capacity if n_active is None else min(int(n_active), self.capacity)
+        n = max(n, 1)
+        poses, k0 = snap_render_poses(
+            np.asarray(poses), n, self.map_poses, self.n_prev,
+            self.eps_xy, self.eps_th,
+        )
+        if self.cache_grid is not None and self.cache_k <= k0:
+            grid, start = self.cache_grid, self.cache_k
+        else:
+            grid, start = make_grid(self.gcfg), 0
+            self.cache_grid, self.cache_k = None, 0
+        n_end = min(((n + self.chunk - 1) // self.chunk) * self.chunk,
+                    self.capacity)
+        poses_j = jnp.asarray(poses)
+        for s in range(start, n_end, self.chunk):
+            grid = self._rebuild_chunk(
+                grid, poses_j[s : s + self.chunk], scans[s : s + self.chunk],
+                mask[s : s + self.chunk],
+            )
+            if s + self.chunk <= k0:
+                self.cache_grid, self.cache_k = grid, s + self.chunk
+        self.map_poses[:n] = poses[:n]
+        self.n_prev = n
+        return grid
 
 
 def default_submap_grid(cfg: FrontendConfig) -> "GridConfig":
@@ -149,6 +244,11 @@ def fullslam_ckpt_template(cfg: FrontendConfig, graph_cfg: GraphConfig):
         "n_loops": np.int32(0),
         "chi2": np.float32(0.0),
         "cooldown": np.int32(0),
+        # poses last used to RENDER the map (IncrementalRebuilder snaps
+        # sub-quarter-cell corrections to these; checkpointed so a resumed
+        # run reproduces the single run's maps bit-exactly)
+        "map_poses": np.zeros((Kmax, 3), np.float32),
+        "map_pose_count": np.int32(0),
     }
 
 
@@ -228,7 +328,7 @@ def run_full_slam(
     K = cfg.chunk
 
     chunk_fn = make_chunk_fn(cfg)
-    rebuild = make_rebuild_fn(cfg, graph_cfg.max_nodes)
+    rebuild = IncrementalRebuilder(cfg, graph_cfg.max_nodes)
     # submaps are built in the ANCHOR KEYFRAME's frame on a small
     # zero-centered grid — independent of world extent, so the same jitted
     # functions serve bounded and tiled/unbounded worlds
@@ -252,6 +352,8 @@ def run_full_slam(
         init_last_kf = (
             np.asarray(resume["last_kf_pose"]) if kc > 0 else None
         )
+        if "map_poses" in resume:
+            rebuild.restore(resume["map_poses"], resume["map_pose_count"])
     else:
         state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
         graph = se2_graph.graph_init(graph_cfg)
@@ -448,6 +550,8 @@ def run_full_slam(
     ckpt["n_loops"] = np.int32(n_loops)
     ckpt["chi2"] = np.float32(chi2)
     ckpt["cooldown"] = np.int32(cooldown)
+    ckpt["map_poses"] = rebuild.map_poses.copy()
+    ckpt["map_pose_count"] = np.int32(rebuild.n_prev)
 
     return FullSLAMResult(
         traj=traj_out,

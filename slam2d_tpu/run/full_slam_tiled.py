@@ -17,7 +17,13 @@ from slam2d_tpu.config import FrontendConfig, GraphConfig, MatcherConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.graph import se2_graph
 from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
-from slam2d_tpu.grid.tiles import TileConfig, TileTable, required_tiles, tiled_init
+from slam2d_tpu.grid.tiles import (
+    FREE_SLOT,
+    TileConfig,
+    TileTable,
+    required_tiles,
+    tiled_init,
+)
 from slam2d_tpu.grid.window import blur_halo_cells
 from slam2d_tpu.match.correlative import build_search_space
 from slam2d_tpu.run.frontend_tiled import (
@@ -39,12 +45,7 @@ from slam2d_tpu.run.full_slam import (
 from slam2d_tpu.grid.tiles import gather_region, scatter_region, world_to_cell_global
 
 
-def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
-                          capacity: int, chunk: int = 32):
-    """Re-integrate up to `capacity` keyframe scans into FRESH tiles
-    (coords table kept), refreshing the blurred-field tiles as well.
-    Chunked like make_rebuild_fn: the host loops only over chunks that
-    contain active keyframes."""
+def _make_tiled_rebuild_chunk(cfg: FrontendConfig, tcfg: TileConfig):
     win = tiled_window_cells(tcfg, cfg.sensor, cfg.matcher)
     halo = blur_halo_cells(cfg.matcher, tcfg.resolution)
     gparam = _param_grid_cfg(cfg, tcfg)
@@ -75,6 +76,17 @@ def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
         )
         return grid, sgrid
 
+    return rebuild_chunk
+
+
+def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
+                          capacity: int, chunk: int = 32):
+    """Re-integrate up to `capacity` keyframe scans into FRESH tiles
+    (coords table kept), refreshing the blurred-field tiles as well.
+    Chunked like make_rebuild_fn: the host loops only over chunks that
+    contain active keyframes."""
+    rebuild_chunk = _make_tiled_rebuild_chunk(cfg, tcfg)
+
     def rebuild(coords, poses, scans, mask, n_active: int | None = None):
         n = capacity if n_active is None else min(int(n_active), capacity)
         n = ((max(n, 1) + chunk - 1) // chunk) * chunk
@@ -89,6 +101,79 @@ def make_tiled_rebuild_fn(cfg: FrontendConfig, tcfg: TileConfig,
         return grid, sgrid
 
     return rebuild
+
+
+class IncrementalTiledRebuilder:
+    """Tiled analog of full_slam.IncrementalRebuilder: replay keyframe
+    integration from a chunk-aligned cached prefix of (tile pool, blurred
+    pool) instead of fresh tiles, starting at the first keyframe whose
+    RENDERED (snapped) pose moved. Valid because tile slots are
+    append-only (TileTable.activate never evicts): a slot activated after
+    the cache snapshot holds zeros there — exactly a fresh tile."""
+
+    def __init__(self, cfg: FrontendConfig, tcfg: TileConfig,
+                 capacity: int, chunk: int = 32, eps_cells: float = 0.25):
+        self.tcfg = tcfg
+        self.capacity = capacity
+        self.chunk = chunk
+        self.eps_xy = eps_cells * tcfg.resolution
+        self.eps_th = eps_cells * tcfg.resolution / max(cfg.sensor.max_range, 1e-6)
+        self._rebuild_chunk = _make_tiled_rebuild_chunk(cfg, tcfg)
+        self.map_poses = np.zeros((capacity, 3), np.float32)
+        self.n_prev = 0
+        self.cache = None          # (grid, sgrid, coords_np) at cache_k
+        self.cache_k = 0
+
+    def restore(self, map_poses, n_prev: int):
+        self.map_poses[: len(map_poses)] = np.asarray(map_poses, np.float32)
+        self.n_prev = int(n_prev)
+        self.cache = None
+        self.cache_k = 0
+
+    def _cache_compatible(self, coords_np):
+        """Every slot active at snapshot time must still hold the same
+        tile coordinate (activation is append-only, but verify)."""
+        old = self.cache[2]
+        act = old[:, 0] > FREE_SLOT
+        return bool(np.array_equal(old[act], coords_np[act]))
+
+    def __call__(self, coords, poses, scans, mask, n_active: int | None = None):
+        from slam2d_tpu.run.full_slam import snap_render_poses
+
+        n = self.capacity if n_active is None else min(int(n_active), self.capacity)
+        n = max(n, 1)
+        poses, k0 = snap_render_poses(
+            np.asarray(poses), n, self.map_poses, self.n_prev,
+            self.eps_xy, self.eps_th,
+        )
+        coords_np = np.asarray(coords)
+        if (
+            self.cache is not None
+            and self.cache_k <= k0
+            and self._cache_compatible(coords_np)
+        ):
+            grid = self.cache[0]._replace(coords=coords)
+            sgrid = self.cache[1]._replace(coords=coords + 0)
+            start = self.cache_k
+        else:
+            grid = tiled_init(self.tcfg)._replace(coords=coords)
+            sgrid = tiled_init(self.tcfg)._replace(coords=coords + 0)
+            start = 0
+            self.cache, self.cache_k = None, 0
+        n_end = min(((n + self.chunk - 1) // self.chunk) * self.chunk,
+                    self.capacity)
+        poses_j = jnp.asarray(poses)
+        for s in range(start, n_end, self.chunk):
+            grid, sgrid = self._rebuild_chunk(
+                grid, sgrid, poses_j[s : s + self.chunk],
+                scans[s : s + self.chunk], mask[s : s + self.chunk],
+            )
+            if s + self.chunk <= k0:
+                self.cache = (grid, sgrid, coords_np)
+                self.cache_k = s + self.chunk
+        self.map_poses[:n] = poses[:n]
+        self.n_prev = n
+        return grid, sgrid
 
 
 def fullslam_tiled_ckpt_template(
@@ -112,6 +197,8 @@ def fullslam_tiled_ckpt_template(
         "n_loops": np.int32(0),
         "chi2": np.float32(0.0),
         "cooldown": np.int32(0),
+        "map_poses": np.zeros((Kmax, 3), np.float32),
+        "map_pose_count": np.int32(0),
     }
 
 
@@ -145,7 +232,7 @@ def run_full_slam_tiled(
     submap_cfg = default_submap_grid(cfg)
     rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
     loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
-    rebuild_tiles = make_tiled_rebuild_fn(cfg, tcfg, graph_cfg.max_nodes)
+    rebuild_tiles = IncrementalTiledRebuilder(cfg, tcfg, graph_cfg.max_nodes)
 
     reach = (
         cfg.sensor.max_range + cfg.matcher.search_xy
@@ -160,8 +247,6 @@ def run_full_slam_tiled(
         # rebuild the host slot table from the restored coords (slots are
         # assigned sequentially, so insertion order == slot index)
         coords_np = np.asarray(state.grid.coords)
-        from slam2d_tpu.grid.tiles import FREE_SLOT
-
         for slot in range(tcfg.n_slots):
             if coords_np[slot, 0] > FREE_SLOT:
                 table.slot_of[(int(coords_np[slot, 0]), int(coords_np[slot, 1]))] = slot
@@ -175,6 +260,8 @@ def run_full_slam_tiled(
         chi2 = float(resume["chi2"])
         init_cooldown = int(resume["cooldown"])
         init_last_kf = np.asarray(resume["last_kf_pose"]) if kc > 0 else None
+        if "map_poses" in resume:
+            rebuild_tiles.restore(resume["map_poses"], resume["map_pose_count"])
     else:
         state = tiled_frontend_init(
             tcfg, start_pose=odom_np[0], start_odom=odom_np[0]
@@ -370,6 +457,8 @@ def run_full_slam_tiled(
     ckpt["n_loops"] = np.int32(n_loops)
     ckpt["chi2"] = np.float32(chi2)
     ckpt["cooldown"] = np.int32(cooldown)
+    ckpt["map_poses"] = rebuild_tiles.map_poses.copy()
+    ckpt["map_pose_count"] = np.int32(rebuild_tiles.n_prev)
 
     return FullSLAMResult(
         traj=traj_out,

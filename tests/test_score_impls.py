@@ -23,7 +23,7 @@ def _inputs(seed=3, T=3, B=24, H=96, W=96):
 def test_three_impls_agree(bilinear):
     S, prior, pts, valid, dthetas, offs, origin = _inputs()
     out = {}
-    for impl in ("gather", "mxu", "emx", "pallas"):
+    for impl in ("gather", "mxu", "emx", "pallas", "cmx"):
         out[impl] = np.asarray(
             score_offsets(
                 S, prior, pts, valid, dthetas, offs, offs, 0.1, origin,
@@ -33,3 +33,4 @@ def test_three_impls_agree(bilinear):
     np.testing.assert_allclose(out["mxu"], out["gather"], atol=2e-4)
     np.testing.assert_allclose(out["emx"], out["mxu"], atol=2e-4)
     np.testing.assert_allclose(out["pallas"], out["gather"], atol=2e-4)
+    np.testing.assert_allclose(out["cmx"], out["emx"], atol=2e-4)
