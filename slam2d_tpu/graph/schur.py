@@ -200,15 +200,30 @@ def _iteration_core(
 
     Returns (new_poses [K, 3] — includes the global separator update plus
     THIS shard's interior updates combined via psum when psum_axis is set —
-    and the total chi^2)."""
+    and the total chi^2).
 
+    Runs entirely at full-f32 matmul precision: TPU's default (bf16
+    operand) matmuls perturb the J^T Omega J products and the Schur
+    complement enough to make the near-singular pose-graph systems
+    indefinite, and Cholesky then NaNs (see se2_graph._edge_blocks)."""
+    with jax.default_matmul_precision("highest"):
+        return _iteration_core_f32(
+            poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg,
+            psum_axis,
+        )
+
+
+def _iteration_core_f32(
+    poses, g, plan_dev, int_ids, int_valid, sep_ids,
+    I: int, S: int, cfg: GraphConfig, psum_axis=None,
+):
     def per_block(plan_b, valid_b):
         Hbb, Hbs, Hss_c, bb, bs_c, chi = _block_assemble(
             poses, g, plan_b, I, S, cfg.damping
         )
         # damping + identity on padded interior slots keeps Hbb invertible
         pad = jnp.repeat(~valid_b, 3).astype(jnp.float32)
-        Hbb = Hbb + jnp.diag(pad + cfg.damping)
+        Hbb = 0.5 * (Hbb + Hbb.T) + jnp.diag(pad + cfg.damping)
         c, _ = jax.scipy.linalg.cho_factor(Hbb)
         HinvB = jax.scipy.linalg.cho_solve((c, False), Hbs)  # Hbb^-1 Hbs
         Hinvb = jax.scipy.linalg.cho_solve((c, False), bb)   # Hbb^-1 bb
@@ -231,7 +246,7 @@ def _iteration_core(
     diag = jnp.zeros(3 * S).at[
         3 * anchor_slot + jnp.arange(3)
     ].set(1e8) + cfg.damping
-    S_tot = S_tot + jnp.diag(diag)
+    S_tot = 0.5 * (S_tot + S_tot.T) + jnp.diag(diag)
     ds = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(S_tot), -r_tot
     )                                                       # [3S]

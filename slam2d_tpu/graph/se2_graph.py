@@ -85,7 +85,15 @@ def edge_residuals(poses, edges_ij, edges_z):
 
 
 def _edge_blocks(poses, edges_ij, edges_z, edges_omega, edge_mask):
-    """Per-edge H/b blocks. Returns (Hii, Hij, Hjj, bi, bj, err) stacked [E, ...]."""
+    """Per-edge H/b blocks. Returns (Hii, Hij, Hjj, bi, bj, err) stacked [E, ...].
+
+    NOTE: callers must run this under jax.default_matmul_precision
+    ("highest"). TPU's default matmul precision (bf16 operands) perturbs
+    the J^T Omega J products by ~1e-3 relative — enough to push the pose
+    graph's near-zero gauge eigenvalues NEGATIVE, which makes the
+    assembled H indefinite and Cholesky NaN (observed on a real chip;
+    CPU f32 is unaffected). These are 3x3 matmuls — full precision is
+    free."""
 
     def one(idx_i, idx_j, z, omega, m):
         xi = poses[idx_i]
@@ -133,7 +141,9 @@ def _gn_iterate(poses, H, b, node_mask, cfg: GraphConfig, K: int):
     # inactive node slots get identity diagonal so H stays invertible
     inactive = jnp.repeat(~node_mask, 3).astype(jnp.float32)
     diag = anchor + cfg.damping + inactive
-    Hd = H + jnp.diag(diag)
+    # symmetrize: scatter-order float noise makes H asymmetric by a few
+    # ulp, and Cholesky assumes exact symmetry
+    Hd = 0.5 * (H + H.T) + jnp.diag(diag)
     delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), -b)
     delta = delta.reshape(K, 3) * node_mask[:, None]
     new = poses + delta
@@ -153,9 +163,12 @@ def optimize(g: PoseGraph, cfg: GraphConfig):
         poses = _gn_iterate(poses, H, b, g.node_mask, cfg, K)
         return poses, chi
 
-    poses, chi = jax.lax.fori_loop(
-        0, cfg.gn_iters, body, (g.poses, jnp.float32(0.0))
-    )
+    # full-f32 matmuls: see _edge_blocks note (bf16 default precision
+    # makes H indefinite on TPU); the graphs are tiny, precision is free
+    with jax.default_matmul_precision("highest"):
+        poses, chi = jax.lax.fori_loop(
+            0, cfg.gn_iters, body, (g.poses, jnp.float32(0.0))
+        )
     return g._replace(poses=poses), chi
 
 
@@ -181,9 +194,10 @@ def make_optimize_sharded(cfg: GraphConfig, mesh, axis: str = "particles"):
             p = _gn_iterate(p, H, b, node_mask, cfg, K)
             return p, chi
 
-        return jax.lax.fori_loop(
-            0, cfg.gn_iters, body, (poses, jnp.float32(0.0))
-        )
+        with jax.default_matmul_precision("highest"):
+            return jax.lax.fori_loop(
+                0, cfg.gn_iters, body, (poses, jnp.float32(0.0))
+            )
 
     sharded = jax.shard_map(
         step,

@@ -73,6 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process per-particle refinement/update in chunks "
                         "of this size (bounds HBM at 1000+ particles)")
     # misc
+    # pose-graph / loop-closure gates (full mode; None = GraphConfig default)
+    p.add_argument("--keyframe-dist", type=float, default=None,
+                   help="admit a keyframe every d meters")
+    p.add_argument("--max-nodes", type=int, default=None,
+                   help="keyframe capacity of the pose graph")
+    p.add_argument("--loop-radius", type=float, default=None,
+                   help="spatial gate (m) for loop candidates")
+    p.add_argument("--loop-accept", type=float, default=None,
+                   help="matcher score to accept a loop edge")
+    p.add_argument("--loop-max-correction", type=float, default=None,
+                   help="max |xy| correction (m) an accepted loop may imply "
+                        "(plausibility gate; raise for long-drift logs)")
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gt-ate", action="store_true",
@@ -201,7 +213,18 @@ def main(argv=None) -> int:
             grid = state.logodds[best]
         extra["mean_n_eff"] = float(np.mean(n_eff))
     else:  # full
-        gcfg = GraphConfig()
+        overrides = {
+            k: v
+            for k, v in {
+                "keyframe_dist": args.keyframe_dist,
+                "max_nodes": args.max_nodes,
+                "loop_radius": args.loop_radius,
+                "loop_score_accept": args.loop_accept,
+                "loop_max_correction_xy": args.loop_max_correction,
+            }.items()
+            if v is not None
+        }
+        gcfg = GraphConfig(**overrides)
         optimizer = args.optimizer or ("schur" if args.schur else "dense")
         if args.tiled:
             from slam2d_tpu.run.full_slam_tiled import (

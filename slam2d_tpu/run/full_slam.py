@@ -219,6 +219,11 @@ class FullSLAMResult(NamedTuple):
     chi2: float
     # accepted loop records: (i, j, score, zx, zy, ztheta) per loop
     loops: np.ndarray = np.zeros((0, 6), np.float32)
+    # every ATTEMPTED loop closure:
+    # (i, j, score, peak_margin, corr_xy, corr_theta, accepted) —
+    # observability for tuning the accept gates (score threshold,
+    # peak-margin, max-correction)
+    loop_attempts: np.ndarray = np.zeros((0, 7), np.float32)
     # resumable pipeline snapshot (see fullslam_ckpt_template) — save with
     # utils.checkpoint.save_state and pass back as `resume=`
     ckpt: dict | None = None
@@ -308,6 +313,7 @@ def run_full_slam(
     optimizer: str = "dense",
     resume: dict | None = None,
     scan_index_offset: int = 0,
+    incremental_rebuild: bool = True,
 ):
     """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
 
@@ -328,7 +334,12 @@ def run_full_slam(
     K = cfg.chunk
 
     chunk_fn = make_chunk_fn(cfg)
-    rebuild = IncrementalRebuilder(cfg, graph_cfg.max_nodes)
+    rebuild = IncrementalRebuilder(
+        cfg, graph_cfg.max_nodes,
+        # eps 0 = nothing snaps, every rebuild replays from scratch (the
+        # A/B baseline: the naive full re-raycast per accepted loop)
+        eps_cells=0.25 if incremental_rebuild else 0.0,
+    )
     # submaps are built in the ANCHOR KEYFRAME's frame on a small
     # zero-centered grid — independent of world extent, so the same jitted
     # functions serve bounded and tiled/unbounded worlds
@@ -366,6 +377,7 @@ def run_full_slam(
         init_cooldown = 0
         init_last_kf = None
     traj_out = np.zeros((T, 3), np.float32)
+    attempt_records: list = []
 
     def admit_keyframe(pose, scan_i):
         nonlocal graph
@@ -426,17 +438,21 @@ def run_full_slam(
         matched_rel, score, margin = loop_match(
             submap, jnp.asarray(ranges_np[scan_i]), prior_rel
         )
+        # correction implied on the current estimate (the plausibility gate)
+        corr = np.asarray(se2.between(prior_rel, matched_rel))
+        attempt = [float(i), float(k_new), float(score), float(margin),
+                   float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
+        attempt_records.append(attempt)
         if float(score) < graph_cfg.loop_score_accept:
             return False
         if float(margin) < graph_cfg.loop_min_peak_margin:
             return False
-        # plausibility gate: correction implied on the current estimate
-        corr = np.asarray(se2.between(prior_rel, matched_rel))
         if (
             np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
             or abs(corr[2]) > graph_cfg.loop_max_correction_theta
         ):
             return False
+        attempt[6] = 1.0
         matched = se2.compose(anchor, matched_rel)
         z = np.asarray(matched_rel)
         graph = se2_graph.add_edge(
@@ -561,5 +577,6 @@ def run_full_slam(
         grid=state.logodds,
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
+        loop_attempts=np.asarray(attempt_records, np.float32).reshape(-1, 7),
         ckpt=ckpt,
     )

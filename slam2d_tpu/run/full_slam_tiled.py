@@ -215,6 +215,7 @@ def run_full_slam_tiled(
     optimizer: str = "dense",
     resume: dict | None = None,
     scan_index_offset: int = 0,
+    incremental_rebuild: bool = True,
 ):
     """optimizer: "dense" (one Cholesky over all keyframes), "schur"
     (keyframe-block eliminated — the form that scales/distributes), or
@@ -232,7 +233,12 @@ def run_full_slam_tiled(
     submap_cfg = default_submap_grid(cfg)
     rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
     loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
-    rebuild_tiles = IncrementalTiledRebuilder(cfg, tcfg, graph_cfg.max_nodes)
+    rebuild_tiles = IncrementalTiledRebuilder(
+        cfg, tcfg, graph_cfg.max_nodes,
+        # eps 0 = nothing snaps, every rebuild replays from scratch (the
+        # A/B baseline: the naive full re-raycast per accepted loop)
+        eps_cells=0.25 if incremental_rebuild else 0.0,
+    )
 
     reach = (
         cfg.sensor.max_range + cfg.matcher.search_xy
@@ -276,6 +282,7 @@ def run_full_slam_tiled(
         init_cooldown = 0
         init_last_kf = None
     traj_out = np.zeros((T, 3), np.float32)
+    attempt_records: list = []
 
     def admit_keyframe(pose, scan_i):
         nonlocal graph
@@ -330,16 +337,20 @@ def run_full_slam_tiled(
         matched_rel, score, margin = loop_match(
             submap, jnp.asarray(ranges_np[scan_i]), prior_rel
         )
+        corr = np.asarray(se2.between(prior_rel, matched_rel))
+        attempt = [float(i), float(k_new), float(score), float(margin),
+                   float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
+        attempt_records.append(attempt)
         if float(score) < graph_cfg.loop_score_accept:
             return False
         if float(margin) < graph_cfg.loop_min_peak_margin:
             return False
-        corr = np.asarray(se2.between(prior_rel, matched_rel))
         if (
             np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
             or abs(corr[2]) > graph_cfg.loop_max_correction_theta
         ):
             return False
+        attempt[6] = 1.0
         z = np.asarray(matched_rel)
         graph = se2_graph.add_edge(
             graph, i, k_new, jnp.asarray(z), jnp.eye(3) * loop_edge_info
@@ -468,5 +479,6 @@ def run_full_slam_tiled(
         grid=state.grid,   # the TiledGrid (stitch with grid.tiles.stitch_tiles)
         chi2=chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
+        loop_attempts=np.asarray(attempt_records, np.float32).reshape(-1, 7),
         ckpt=ckpt,
     )
