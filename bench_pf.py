@@ -33,13 +33,14 @@ def main():
     ap.add_argument("--particles", type=int, default=100)
     ap.add_argument("--map-dtype", default="float32")
     ap.add_argument("--refine-chunk", type=int, default=0)
+    ap.add_argument("--update-impl", default="auto")
     args = ap.parse_args()
 
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
             height=512, width=512, resolution=0.1, ray_samples=128,
-            center_x=10.0, center_y=10.0,
+            center_x=10.0, center_y=10.0, update_impl=args.update_impl,
         ),
         matcher=MatcherConfig(search_xy=0.25, search_theta=0.12, n_theta=9),
         chunk=32,

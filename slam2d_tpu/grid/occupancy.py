@@ -276,20 +276,32 @@ def integrate_scan(
     sampled rays with scatter-add accumulation on CPU and one-hot-matmul
     accumulation on TPU (where XLA's scatter serializes).
 
+    The Pallas dense inverse-sensor-model kernel is FASTER in isolation
+    (scripts/bench_update.py: 1.09 vs 1.35 ms at the frontend's 520^2
+    window, 4.97 vs 5.60 ms at the PF's vmapped 100x256^2), but "auto"
+    stays on the sampled-ray semantics: measured end-to-end (scripts/
+    bench_ate.py) the dense marks degrade frontend ATE 0.177 -> 0.247 m
+    and throughput 2163 -> 1968 scans/s at the bench config, because the
+    differently-shaped free/occ evidence feeds back into match quality.
+
     origin_rc: integer window offset on the config grid's lattice (see
     raycast_update) — the sparse paths use it for bit-exact windowed
     updates; the dense/pallas inverse-sensor-model kernels evaluate
     continuous cell centers, so they derive the equivalent float origin."""
     import jax as _jax
 
-    if origin_rc is not None and cfg.update_impl in ("pallas", "dense"):
+    impl = cfg.update_impl
+    if impl == "auto":
+        impl = "sparse_mxu" if _jax.default_backend() == "tpu" else "sparse"
+
+    if origin_rc is not None and impl in ("pallas", "dense"):
         origin_xy = (
             cfg.origin_x
             + origin_rc[1].astype(jnp.float32) * cfg.resolution,
             cfg.origin_y
             + origin_rc[0].astype(jnp.float32) * cfg.resolution,
         )
-    if cfg.update_impl == "pallas":
+    if impl == "pallas":
         from slam2d_tpu.ops.pallas_update import pallas_dense_update
 
         return pallas_dense_update(
@@ -297,17 +309,12 @@ def integrate_scan(
             origin_xy=origin_xy,
             interpret=_jax.default_backend() != "tpu",
         )
-    if cfg.update_impl == "dense":
+    if impl == "dense":
         return raycast_update_dense(
             logodds, pose, ranges, cfg, sensor, enable=enable,
             origin_xy=origin_xy,
         )
-    if cfg.update_impl == "sparse_mxu" or (
-        cfg.update_impl == "auto" and _jax.default_backend() == "tpu"
-    ):
-        acc = "mxu"
-    else:
-        acc = "scatter"
+    acc = "mxu" if impl == "sparse_mxu" else "scatter"
     return raycast_update(
         logodds, pose, ranges, cfg, sensor, enable=enable,
         origin_xy=origin_xy, origin_rc=origin_rc, accumulate=acc,

@@ -9,14 +9,30 @@ beam's wedge/arc masks over the whole VMEM-resident cell block with pure
 VPU math:
 
   free |= (cell in beam b's angular slot) & (d < rmin3[b] - res)
-  occ  |= (cross-track to beam b <= 0.75 cell) & (|d - r_b| <= 0.75 cell)
+  occ  |= (angular distance to beam b <= tol/d) & (|d - r_b| <= 0.75 cell)
 
 rmin3[b] = min of beam b and its neighbors' ranges (precomputed on the
 host side of the trace) keeps the free carve conservative at grazing
 incidence, matching the XLA dense semantics.
 
+Design notes (measured on v5e, scripts/bench_update.py):
+- A one-hot-matmul gather variant (nearest-beam k = round(phi/step), MXU
+  contraction against a [B, 8] table — the ops/mxu_score.py trick) was
+  tried and is 3x SLOWER than this loop: building the [cells, B] one-hot
+  and reshaping it for the MXU forces Mosaic relayouts that dwarf the
+  VPU math it saves. The beam loop is plain elementwise ops at full lane
+  occupancy.
+- The inner body is minimized to 12 vector ops/beam: the occ test
+  compares dphi against a precomputed tol/d plane (hoists the per-beam
+  multiply), boolean or-accumulation replaces where/max chains, and the
+  hit test needs NO r_b > 0 guard — misses encode r_hit = -1, making
+  |d - r_b| <= 0.75 res unsatisfiable for d >= 0.
+- The loop is unrolled 4x: Mosaic's per-iteration scalar-loop overhead is
+  comparable to the ~12 VPU block ops of one beam (the caller pads the
+  beam tables to a multiple of 4).
+
 Beam encodings: r_hit[b] < 0 means "no hit" (occ test can't fire),
-rmin3[b] < 0 means "invalid beam" (free test can't fire).
+rmin3[b] < 0 means "invalid beam" (free test can't fire: d < -1 - res).
 """
 
 from __future__ import annotations
@@ -30,6 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from slam2d_tpu.config import GridConfig, SensorConfig
+
+_UNROLL = 4
 
 
 def _atan_01(q):
@@ -61,7 +79,7 @@ def _atan2(y, x):
 
 
 def _update_kernel(
-    scalars_ref,  # [8] SMEM f32: pose_x, pose_y, pose_theta, ox, oy, enable, _, _
+    scalars_ref,  # [8] SMEM f32: pose_x, pose_y, pose_theta, ox, oy, enable
     r_hit_ref,    # [B] SMEM f32: range if hit else -1
     rmin3_ref,    # [B] SMEM f32: neighborhood-min range if valid else -1
     g_ref,        # [BH, W] VMEM: log-odds block
@@ -98,38 +116,41 @@ def _update_kernel(
 
     half_slot = 0.5 * step
     occ_tol = 0.75 * resolution
+    # occ angular gate as a per-cell threshold plane: dphi * d <= tol
+    # becomes dphi <= tol / d, hoisting the multiply out of the beam loop
+    tol_d = occ_tol / jnp.maximum(d, 1e-6)
 
-    # beam loop unrolled 2x: Mosaic's per-iteration scalar-loop overhead is
-    # comparable to the ~10 VPU block ops of one beam, so pairing beams per
-    # trip buys ~25% (the caller pads the beam tables to even length)
-    def body(b2, carry):
+    def body(bu, carry):
         free, occ = carry
-        for k in range(2):
-            b = b2 * 2 + k
+        free_b = None
+        occ_b = None
+        # booleans OR-accumulate within the unrolled chunk; one convert +
+        # max folds the chunk into the f32 loop carry (Mosaic vector-mask
+        # loop carries don't compile, and this amortizes the conversion)
+        for k in range(_UNROLL):
+            b = bu * _UNROLL + k
             ab = b.astype(jnp.float32) * step
             dphi = jnp.abs(phi - ab)
             r_b = r_hit_ref[b]
-            rm = rmin3_ref[b]
-            free = jnp.maximum(
-                free,
-                jnp.where((dphi <= half_slot) & (d < rm - resolution), 1.0, 0.0),
-            )
-            occ = jnp.maximum(
-                occ,
-                jnp.where(
-                    (dphi * d <= occ_tol)
-                    & (jnp.abs(d - r_b) <= occ_tol) & (r_b > 0),
-                    1.0,
-                    0.0,
-                ),
-            )
+            rm = rmin3_ref[b] - resolution
+            f = (dphi <= half_slot) & (d < rm)
+            o = (dphi <= tol_d) & (jnp.abs(d - r_b) <= occ_tol)
+            free_b = f if free_b is None else free_b | f
+            occ_b = o if occ_b is None else occ_b | o
+        free = jnp.maximum(free, free_b.astype(jnp.float32))
+        occ = jnp.maximum(occ, occ_b.astype(jnp.float32))
         return free, occ
 
     zeros = jnp.zeros((block_rows, width), jnp.float32)
-    free, occ = lax.fori_loop(0, (n_beams + 1) // 2, body, (zeros, zeros))
+    free, occ = lax.fori_loop(
+        0, (n_beams + _UNROLL - 1) // _UNROLL, body, (zeros, zeros)
+    )
 
     upd = (l_free * free + l_occ * occ) * enable
-    out_ref[:, :] = jnp.clip(g_ref[:, :] + upd, -l_clamp, l_clamp)
+    g = g_ref[:, :].astype(jnp.float32)
+    out_ref[:, :] = jnp.clip(g + upd, -l_clamp, l_clamp).astype(
+        out_ref.dtype
+    )
 
 
 @functools.partial(
@@ -145,9 +166,10 @@ def pallas_dense_update(
     enable=1.0,
     origin_xy=None,
     interpret: bool = False,
-    block_rows: int = 64,
+    block_rows: int = 32,
 ):
-    """Drop-in for raycast_update_dense backed by the Pallas kernel."""
+    """Drop-in for raycast_update_dense backed by the Pallas kernel.
+    Preserves the map dtype (PF maps may be bf16); accumulates in f32."""
     H, W = logodds.shape
     if H % block_rows:
         # largest 8-multiple divisor of H at most the requested block
@@ -177,12 +199,13 @@ def pallas_dense_update(
     )
     rmin3 = jnp.where(valid & jnp.isfinite(rmin3), rmin3, -1.0)
 
-    # pad beam tables to even length for the 2x-unrolled kernel loop
+    # pad beam tables to the kernel's unroll factor
     # (-1 encodes "can't fire" for both the free and occ tests)
-    if B % 2:
-        r_hit = jnp.concatenate([r_hit, jnp.full((1,), -1.0, jnp.float32)])
-        rmin3 = jnp.concatenate([rmin3, jnp.full((1,), -1.0, jnp.float32)])
-        B = B + 1
+    if B % _UNROLL:
+        pad = _UNROLL - B % _UNROLL
+        r_hit = jnp.concatenate([r_hit, jnp.full((pad,), -1.0, jnp.float32)])
+        rmin3 = jnp.concatenate([rmin3, jnp.full((pad,), -1.0, jnp.float32)])
+        B = B + pad
 
     scalars = jnp.stack(
         [
@@ -220,6 +243,6 @@ def pallas_dense_update(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, W), logodds.dtype),
         interpret=interpret,
     )(scalars, r_hit, rmin3, logodds)

@@ -59,3 +59,16 @@ def test_pallas_update_window_origin():
     )
     ref = pallas_dense_update(grid, pose, ranges, GCFG, SENSOR, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_update_bf16_dtype():
+    pose, ranges = _scan()
+    grid = make_grid(GCFG, dtype=jnp.bfloat16)
+    out = pallas_dense_update(grid, pose, ranges, GCFG, SENSOR, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = pallas_dense_update(
+        make_grid(GCFG), pose, ranges, GCFG, SENSOR, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.02
+    )
