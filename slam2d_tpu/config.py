@@ -51,13 +51,16 @@ class GridConfig:
     # the actual range so shapes stay static (SURVEY.md §9 "static shapes").
     # Only used by the sparse ("raycast") update implementation.
     ray_samples: int = 192
-    # Scan-integration kernel. "auto" (default) = per-beam ray sampling
-    # with backend-picked accumulation: scatter-add on CPU, one-hot-matmul
-    # accumulation on TPU (XLA's TPU scatter serializes — 27 ms for the
-    # vmapped FastSLAM-100 update vs 5.5 ms as a matmul). Explicit:
-    # "sparse" (always scatter), "sparse_mxu" (always matmul), "dense"
-    # (XLA inverse-sensor-model; slow beam-table gathers), "pallas"
-    # (Pallas dense kernel, 9.8 ms at FastSLAM-100 shapes).
+    # Scan-integration kernel. "auto" (default) resolves per backend AND
+    # per call site (integrate_scan's auto_ctx): scatter-add on CPU;
+    # on TPU, sampled rays + one-hot-matmul accumulation for the frontend
+    # (XLA's TPU scatter serializes — 27 ms for the vmapped FastSLAM-100
+    # update vs 5.6 ms as a matmul) and the Pallas dense inverse-sensor-
+    # model kernel for PF map updates (4.97 ms at FastSLAM-100 shapes;
+    # see integrate_scan's docstring for why the frontend keeps sparse).
+    # Explicit overrides: "sparse" (always scatter), "sparse_mxu" (always
+    # matmul), "dense" (XLA inverse-sensor-model; slow beam-table
+    # gathers), "pallas" (Pallas dense kernel everywhere).
     update_impl: str = "auto"
 
     @property

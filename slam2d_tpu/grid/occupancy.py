@@ -269,20 +269,24 @@ def raycast_update_dense(
 
 def integrate_scan(
     logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig,
-    enable=1.0, origin_xy=None, origin_rc=None,
+    enable=1.0, origin_xy=None, origin_rc=None, auto_ctx: str = "frontend",
 ):
     """Scan integration dispatcher: GridConfig.update_impl picks the kernel
     ("sparse" | "sparse_mxu" | "auto" | "dense" | "pallas"). "auto" =
     sampled rays with scatter-add accumulation on CPU and one-hot-matmul
     accumulation on TPU (where XLA's scatter serializes).
 
-    The Pallas dense inverse-sensor-model kernel is FASTER in isolation
-    (scripts/bench_update.py: 1.09 vs 1.35 ms at the frontend's 520^2
-    window, 4.97 vs 5.60 ms at the PF's vmapped 100x256^2), but "auto"
-    stays on the sampled-ray semantics: measured end-to-end (scripts/
-    bench_ate.py) the dense marks degrade frontend ATE 0.177 -> 0.247 m
-    and throughput 2163 -> 1968 scans/s at the bench config, because the
-    differently-shaped free/occ evidence feeds back into match quality.
+    auto_ctx disambiguates "auto" per call site (mirrors the scorer's
+    "auto"/"auto_refine" split): the Pallas dense inverse-sensor-model
+    kernel is FASTER in isolation (scripts/bench_update.py: 1.09 vs
+    1.35 ms at the frontend's 520^2 window, 4.97 vs 5.60 ms at the PF's
+    vmapped 100x256^2), but for the FRONTEND its differently-shaped
+    free/occ marks feed back into absolute match quality — measured
+    end-to-end (scripts/bench_ate.py) ATE degrades 0.177 -> 0.247 m —
+    so auto_ctx="frontend" keeps the sampled-ray sparse semantics. PF
+    weighting only compares particles' scores against each other, and
+    measured FastSLAM-100 ATE is unchanged (0.215 vs 0.219) at +4%
+    throughput, so auto_ctx="pf" resolves to the Pallas kernel on TPU.
 
     origin_rc: integer window offset on the config grid's lattice (see
     raycast_update) — the sparse paths use it for bit-exact windowed
@@ -292,7 +296,10 @@ def integrate_scan(
 
     impl = cfg.update_impl
     if impl == "auto":
-        impl = "sparse_mxu" if _jax.default_backend() == "tpu" else "sparse"
+        if _jax.default_backend() != "tpu":
+            impl = "sparse"
+        else:
+            impl = "pallas" if auto_ctx == "pf" else "sparse_mxu"
 
     if origin_rc is not None and impl in ("pallas", "dense"):
         origin_xy = (

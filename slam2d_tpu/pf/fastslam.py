@@ -85,11 +85,15 @@ def _windowed_update(grid, pose, ranges, cfg: FrontendConfig, enable=1.0):
     its blurred field per refinement, so no cached blur needs widening."""
     win = update_window_cells(cfg.grid, cfg.sensor)
     if win >= min(cfg.grid.height, cfg.grid.width):
-        return integrate_scan(grid, pose, ranges, cfg.grid, cfg.sensor, enable=enable)
+        return integrate_scan(
+            grid, pose, ranges, cfg.grid, cfg.sensor, enable=enable,
+            auto_ctx="pf",
+        )
     center = world_to_cell(pose[:2], cfg.grid)
     gw, orc = extract_window(grid, center, win)
     gw = integrate_scan(
-        gw, pose, ranges, cfg.grid, cfg.sensor, enable=enable, origin_rc=orc
+        gw, pose, ranges, cfg.grid, cfg.sensor, enable=enable, origin_rc=orc,
+        auto_ctx="pf",
     )
     return write_window(grid, gw, orc)
 
