@@ -134,6 +134,19 @@ class PFConfig:
     # (the patch-extraction path's per-beam stage-2 matmuls are MXU-
     # padding-bound); the frontend's single big match keeps "mxu".
     refine_score_impl: str | None = None
+    # Refinement batching strategy. "shared" scores every particle through
+    # one MXU-shaped matmul against a scan-shared endpoint-splat shift
+    # stack on a global theta grid (pf/shared_refine.py — the TPU-fast
+    # path, and the default everywhere so CPU tests exercise identical
+    # semantics); "per_particle" vmaps the frontend matcher per particle
+    # (the reference-shaped formulation, kept for comparison/fallback).
+    refine_mode: str = "shared"
+    # Extra global-theta slots on EACH side of the matcher's n_theta grid
+    # in shared mode, covering the particles' heading spread around the
+    # circular mean (each slot costs one more R*C block of the shared
+    # stack — cheap). Particles whose heading drifts beyond the padded
+    # grid search a clipped theta range.
+    refine_theta_pad: int = 3
     resample_threshold: float = 0.5   # resample when N_eff < threshold * N
     # Log-weight increment = sharpness * match score (score in [-pen, 1]);
     # controls how aggressively weights concentrate on good particles.

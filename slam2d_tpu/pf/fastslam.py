@@ -194,20 +194,30 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
             [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
-        batched = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg, refine_matcher(cfg, pf)))
-        if pf.refine_chunk and P > pf.refine_chunk:
-            assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
-            nc = P // pf.refine_chunk
-            Hg, Wg = state.logodds.shape[-2:]
-            g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
-            p_ = priors.reshape(nc, pf.refine_chunk, 3)
-            matched, scores = jax.lax.map(
-                lambda args: batched(args[0], args[1]), (g_, p_)
+        mcfg = refine_matcher(cfg, pf)
+        if pf.refine_mode == "shared" and mcfg.n_theta > 1:
+            from slam2d_tpu.pf.shared_refine import shared_refine
+
+            matched, scores = shared_refine(
+                state.logodds, ranges, priors, cfg, mcfg, pf
             )
-            matched = matched.reshape(P, 3)
-            scores = scores.reshape(P)
         else:
-            matched, scores = batched(state.logodds, priors)
+            batched = jax.vmap(
+                lambda g, p: _windowed_match(g, ranges, p, cfg, mcfg)
+            )
+            if pf.refine_chunk and P > pf.refine_chunk:
+                assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
+                nc = P // pf.refine_chunk
+                Hg, Wg = state.logodds.shape[-2:]
+                g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
+                p_ = priors.reshape(nc, pf.refine_chunk, 3)
+                matched, scores = jax.lax.map(
+                    lambda args: batched(args[0], args[1]), (g_, p_)
+                )
+                matched = matched.reshape(P, 3)
+                scores = scores.reshape(P)
+            else:
+                matched, scores = batched(state.logodds, priors)
         # log-space likelihood-field weights; the softmax-normalization
         # makes the additive offset of the score range irrelevant
         log_w = state.log_w + pf.weight_sharpness * scores

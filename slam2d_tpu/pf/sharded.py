@@ -134,9 +134,22 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         # Heavy per-particle matching behind lax.cond — the predicate is a
         # function of replicated scalars, so every shard takes the same
         # branch (SPMD-safe) and non-refine scans pay nothing.
-        batched_match = jax.vmap(lambda g, p: _windowed_match(g, ranges, p, cfg, refine_matcher(cfg, pf)))
+        mcfg = refine_matcher(cfg, pf)
+        batched_match = jax.vmap(
+            lambda g, p: _windowed_match(g, ranges, p, cfg, mcfg)
+        )
 
         def refine_branch(_):
+            # shard-local shared-anchor refinement: the splat stack is
+            # rebuilt per shard from its local circular-mean heading
+            # (redundant compute, zero collectives — SPMD-safe because
+            # nothing about its shapes depends on shard data)
+            if pf.refine_mode == "shared" and mcfg.n_theta > 1:
+                from slam2d_tpu.pf.shared_refine import shared_refine
+
+                return shared_refine(
+                    state.logodds, ranges, priors, cfg, mcfg, pf
+                )
             if pf.refine_chunk and Pl > pf.refine_chunk:
                 assert Pl % pf.refine_chunk == 0, (Pl, pf.refine_chunk)
                 nc = Pl // pf.refine_chunk
