@@ -30,6 +30,20 @@ Design notes (measured on v5e, scripts/bench_update.py):
 - The loop is unrolled 4x: Mosaic's per-iteration scalar-loop overhead is
   comparable to the ~12 VPU block ops of one beam (the caller pads the
   beam tables to a multiple of 4).
+- ANGULAR BEAM-RANGE CLIP: a cell tile subtends a bounded bearing
+  interval from the sensor, so most beams cannot touch it. Each kernel
+  invocation reduces its tile to three scalars (phi_min, phi_max, d_min),
+  widens the interval by max(half_slot, occ_tol / d_min) — conservative
+  for both the free and occ tests (the occ angular gate tol/d is widest
+  at the tile's nearest cell) — and converts it to [first, last) chunk
+  bounds for ONE dynamic-trip fori_loop (branchless; a per-chunk
+  lax.cond was measured slower than the work it skips). Tiles whose
+  interval spans the +-pi wrap (or contain the sensor, where thr blows
+  up) degrade to the full beam range. Clipping only pays when tiles are
+  angularly narrow, so the grid tiles COLUMNS too (block_cols = 128
+  when the width divides; full-width rows otherwise, where far row
+  blocks still clip). The comparison axis is the kernel's own unwrapped
+  phi, so the clip is exactly as wrap-blind as the per-cell test.
 
 Beam encodings: r_hit[b] < 0 means "no hit" (occ test can't fire),
 rmin3[b] < 0 means "invalid beam" (free test can't fire: d < -1 - res).
@@ -87,7 +101,7 @@ def _update_kernel(
     *,
     n_beams: int,
     block_rows: int,
-    width: int,
+    block_cols: int,
     resolution: float,
     step: float,
     angle_min: float,
@@ -96,6 +110,7 @@ def _update_kernel(
     l_clamp: float,
 ):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     px = scalars_ref[0]
     py = scalars_ref[1]
     ptheta = scalars_ref[2]
@@ -104,10 +119,13 @@ def _update_kernel(
     enable = scalars_ref[5]
 
     row = (
-        lax.broadcasted_iota(jnp.int32, (block_rows, width), 0).astype(jnp.float32)
+        lax.broadcasted_iota(jnp.int32, (block_rows, block_cols), 0).astype(jnp.float32)
         + (i * block_rows).astype(jnp.float32)
     )
-    col = lax.broadcasted_iota(jnp.int32, (block_rows, width), 1).astype(jnp.float32)
+    col = (
+        lax.broadcasted_iota(jnp.int32, (block_rows, block_cols), 1).astype(jnp.float32)
+        + (j * block_cols).astype(jnp.float32)
+    )
     cx = ox + (col + 0.5) * resolution - px
     cy = oy + (row + 0.5) * resolution - py
     d = jnp.sqrt(cx * cx + cy * cy)
@@ -120,7 +138,23 @@ def _update_kernel(
     # becomes dphi <= tol / d, hoisting the multiply out of the beam loop
     tol_d = occ_tol / jnp.maximum(d, 1e-6)
 
-    def body(bu, carry):
+    # tile bearing interval + widest per-test angular tolerance -> the
+    # [first, last) chunk range that can touch this tile (module docstring)
+    phi_lo = jnp.min(phi)
+    phi_hi = jnp.max(phi)
+    thr = jnp.maximum(
+        jnp.float32(half_slot), occ_tol / jnp.maximum(jnp.min(d), 1e-6)
+    ) + jnp.float32(2.0 * step)   # slack: the clip must never be the
+    #                               tight constraint (fp rounding safety)
+    n_chunks = (n_beams + _UNROLL - 1) // _UNROLL
+    cspan = jnp.float32(_UNROLL * step)
+    c_lo = jnp.floor((phi_lo - thr) / cspan).astype(jnp.int32)
+    c_hi = jnp.floor((phi_hi + thr) / cspan).astype(jnp.int32) + 1
+    full = (phi_hi - phi_lo) > jnp.float32(jnp.pi)
+    c_lo = jnp.where(full, 0, jnp.clip(c_lo, 0, n_chunks))
+    c_hi = jnp.where(full, n_chunks, jnp.clip(c_hi, 0, n_chunks))
+
+    def chunk(bu, carry):
         free, occ = carry
         free_b = None
         occ_b = None
@@ -141,10 +175,8 @@ def _update_kernel(
         occ = jnp.maximum(occ, occ_b.astype(jnp.float32))
         return free, occ
 
-    zeros = jnp.zeros((block_rows, width), jnp.float32)
-    free, occ = lax.fori_loop(
-        0, (n_beams + _UNROLL - 1) // _UNROLL, body, (zeros, zeros)
-    )
+    zeros = jnp.zeros((block_rows, block_cols), jnp.float32)
+    free, occ = lax.fori_loop(c_lo, c_hi, chunk, (zeros, zeros))
 
     upd = (l_free * free + l_occ * occ) * enable
     g = g_ref[:, :].astype(jnp.float32)
@@ -178,6 +210,10 @@ def pallas_dense_update(
             default=8,
         )
     assert H % block_rows == 0, (H, block_rows)
+    # column tiling narrows each tile's bearing interval so the angular
+    # chunk skip bites; Mosaic needs the lane dim to be a multiple of 128
+    # (or the full array width)
+    block_cols = 128 if W % 128 == 0 and W > 128 else W
     if origin_xy is None:
         ox, oy = cfg.origin_x, cfg.origin_y
     else:
@@ -220,7 +256,7 @@ def pallas_dense_update(
         _update_kernel,
         n_beams=B,
         block_rows=block_rows,
-        width=W,
+        block_cols=block_cols,
         resolution=cfg.resolution,
         step=float(step),
         angle_min=sensor.angle_min,
@@ -230,14 +266,18 @@ def pallas_dense_update(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,      # scalars, r_hit, rmin3
-        grid=(H // block_rows,),
+        grid=(H // block_rows, W // block_cols),
         in_specs=[
             pl.BlockSpec(
-                (block_rows, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, block_cols),
+                lambda i, j, *_: (i, j),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block_rows, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (block_rows, block_cols),
+            lambda i, j, *_: (i, j),
+            memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
