@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="per-particle map storage dtype (fastslam mode)")
+    p.add_argument("--refine-mode", default="shared",
+                   choices=["shared", "per_particle"],
+                   help="PF refinement batching: one shared-stack MXU "
+                        "matmul for all particles (default) or a vmapped "
+                        "per-particle matcher")
     p.add_argument("--refine-chunk", type=int, default=0,
                    help="process per-particle refinement/update in chunks "
                         "of this size (bounds HBM at 1000+ particles)")
@@ -197,7 +202,7 @@ def main(argv=None) -> int:
 
         pf = PFConfig(
             n_particles=args.particles, map_dtype=args.map_dtype,
-            refine_chunk=args.refine_chunk,
+            refine_chunk=args.refine_chunk, refine_mode=args.refine_mode,
         )
         if args.shard:
             from slam2d_tpu.run.sharded_run import run_sharded_fastslam
