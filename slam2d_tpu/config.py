@@ -136,11 +136,15 @@ class PFConfig:
     refine_score_impl: str | None = None
     # Refinement batching strategy. "shared" scores every particle through
     # one MXU-shaped matmul against a scan-shared endpoint-splat shift
-    # stack on a global theta grid (pf/shared_refine.py — the TPU-fast
-    # path, and the default everywhere so CPU tests exercise identical
-    # semantics); "per_particle" vmaps the frontend matcher per particle
-    # (the reference-shaped formulation, kept for comparison/fallback).
-    refine_mode: str = "shared"
+    # stack on a global theta grid (pf/shared_refine.py); "per_particle"
+    # vmaps the frontend matcher per particle (the reference-shaped
+    # formulation). "auto" picks shared when the PER-DEVICE particle
+    # count amortizes the shared stack build (~2 ms fixed cost, measured
+    # crossover ~25 particles), per_particle below that — small shards in
+    # the mesh-sharded PF rebuild the stack redundantly on every device,
+    # which is what a weak-scaling sweep at 8 particles/device sees.
+    refine_mode: str = "auto"
+    refine_shared_min_particles: int = 32
     # Extra global-theta slots on EACH side of the matcher's n_theta grid
     # in shared mode, covering the particles' heading spread around the
     # circular mean (each slot costs one more R*C block of the shared

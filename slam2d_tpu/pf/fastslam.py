@@ -195,7 +195,13 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
         mcfg = refine_matcher(cfg, pf)
-        if pf.refine_mode == "shared" and mcfg.n_theta > 1:
+        mode = pf.refine_mode
+        if mode == "auto":
+            mode = (
+                "shared" if P >= pf.refine_shared_min_particles
+                else "per_particle"
+            )
+        if mode == "shared" and mcfg.n_theta > 1:
             from slam2d_tpu.pf.shared_refine import shared_refine
 
             matched, scores = shared_refine(

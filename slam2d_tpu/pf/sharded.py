@@ -143,8 +143,16 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
             # shard-local shared-anchor refinement: the splat stack is
             # rebuilt per shard from its local circular-mean heading
             # (redundant compute, zero collectives — SPMD-safe because
-            # nothing about its shapes depends on shard data)
-            if pf.refine_mode == "shared" and mcfg.n_theta > 1:
+            # nothing about its shapes depends on shard data). "auto"
+            # gates on the LOCAL particle count: small shards don't
+            # amortize the per-device stack build.
+            mode = pf.refine_mode
+            if mode == "auto":
+                mode = (
+                    "shared" if Pl >= pf.refine_shared_min_particles
+                    else "per_particle"
+                )
+            if mode == "shared" and mcfg.n_theta > 1:
                 from slam2d_tpu.pf.shared_refine import shared_refine
 
                 return shared_refine(

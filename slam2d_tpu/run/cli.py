@@ -69,11 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="per-particle map storage dtype (fastslam mode)")
-    p.add_argument("--refine-mode", default="shared",
-                   choices=["shared", "per_particle"],
+    p.add_argument("--refine-mode", default="auto",
+                   choices=["auto", "shared", "per_particle"],
                    help="PF refinement batching: one shared-stack MXU "
-                        "matmul for all particles (default) or a vmapped "
-                        "per-particle matcher")
+                        "matmul for all particles, or a vmapped "
+                        "per-particle matcher (auto: shared when the "
+                        "per-device particle count amortizes the stack)")
     p.add_argument("--refine-chunk", type=int, default=0,
                    help="process per-particle refinement/update in chunks "
                         "of this size (bounds HBM at 1000+ particles)")
