@@ -37,7 +37,9 @@ def _gaussian_kernel_1d(sigma: float, halfwidth: int) -> np.ndarray:
     return (k / k.max()).astype(np.float32)  # peak-normalized: S in [0, 1]
 
 
-def build_search_space(logodds, mcfg: MatcherConfig, resolution: float):
+def build_search_space(
+    logodds, mcfg: MatcherConfig, resolution: float, blur_impl: str = "xla"
+):
     """Blurred occupied-cell likelihood field, same shape as the grid.
 
     Beyond the reference's Gaussian smear of occupied cells, known-FREE cells
@@ -62,7 +64,17 @@ def build_search_space(logodds, mcfg: MatcherConfig, resolution: float):
 
     sigma_cells = mcfg.sigma_m / resolution
     k = _gaussian_kernel_1d(sigma_cells, blur_halo_cells(mcfg, resolution))
-    blur = jnp.clip(_separable_blur(occ, k), 0.0, 1.0)
+    if blur_impl == "pallas":
+        from slam2d_tpu.ops.pallas_blur import separable_blur_pallas
+        import jax as _jax
+
+        blurred = separable_blur_pallas(
+            occ, tuple(float(v) for v in k),
+            interpret=_jax.default_backend() != "tpu",
+        )
+    else:
+        blurred = _separable_blur(occ, k)
+    blur = jnp.clip(blurred, 0.0, 1.0)
     free = (p < mcfg.free_threshold).astype(jnp.float32)
     return blur - mcfg.free_penalty * free * (1.0 - blur)
 
@@ -73,7 +85,12 @@ def _separable_blur(img, k: np.ndarray):
     XLA's TPU conv path is built for deep channel dims and lowers a
     [1, 1, H, W] x [1, 1, K, 1] conv poorly (measured ~3 ms on a 576^2
     window); 2*K statically-shifted adds fuse into a couple of VPU passes.
-    """
+    The Pallas single-residency variant (ops/pallas_blur.py) is NOT the
+    default: the frontend's cached-field rebuild fuses this chain into
+    its surrounding update ops and measured 11% FASTER than the Pallas
+    call there (bench.py 6094 vs 5413 scans/s), while the PF's vmapped
+    shared refinement measured faster WITH it (bench_pf 458 vs 445) —
+    build_search_space(blur_impl=...) lets each call site pick."""
     hw = len(k) // 2
 
     def blur_axis(x, axis):

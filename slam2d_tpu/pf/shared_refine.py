@@ -150,7 +150,13 @@ def shared_refine(
             rmask = (i + dr_ >= 0) & (i + dr_ < win)
             cmask = (i + dc_ >= 0) & (i + dc_ < win)
             gw = gw * (rmask[:, None] & cmask[None, :]).astype(gw.dtype)
-            S = build_search_space(gw, mcfg, res)
+            # the Pallas blur wins in this vmapped context (bench_pf
+            # 458 vs 445 scans/s) though the frontend's fused XLA chain
+            # beats it there — see _separable_blur's docstring
+            S = build_search_space(
+                gw, mcfg, res,
+                blur_impl="pallas" if win <= 768 else "xla",
+            )
             Sp = jnp.pad(S, ((0, R), (0, C))).astype(cdtype)
             return Sp.reshape(K), cell_center_world(center, gcfg)
 
