@@ -132,6 +132,13 @@ def shared_refine(
     stack_flat = stack.reshape(G * R * C, K)
 
     # --- per-particle: window -> blur -> one matmul row -> selection -------
+    chunked = bool(pf.refine_chunk) and P > pf.refine_chunk
+    # the Pallas blur wins in the unchunked vmapped context (bench_pf 458
+    # vs 445 scans/s at P=100) but loses inside the chunked lax.map
+    # (FastSLAM-1000: 80.2 vs 83.0) — and the frontend's fused XLA chain
+    # beats it too; see _separable_blur's docstring
+    blur_impl = "pallas" if (win <= 768 and not chunked) else "xla"
+
     def chunk_scores(args):
         grids_c, priors_c = args
 
@@ -150,13 +157,7 @@ def shared_refine(
             rmask = (i + dr_ >= 0) & (i + dr_ < win)
             cmask = (i + dc_ >= 0) & (i + dc_ < win)
             gw = gw * (rmask[:, None] & cmask[None, :]).astype(gw.dtype)
-            # the Pallas blur wins in this vmapped context (bench_pf
-            # 458 vs 445 scans/s) though the frontend's fused XLA chain
-            # beats it there — see _separable_blur's docstring
-            S = build_search_space(
-                gw, mcfg, res,
-                blur_impl="pallas" if win <= 768 else "xla",
-            )
+            S = build_search_space(gw, mcfg, res, blur_impl=blur_impl)
             Sp = jnp.pad(S, ((0, R), (0, C))).astype(cdtype)
             return Sp.reshape(K), cell_center_world(center, gcfg)
 
@@ -221,7 +222,9 @@ def shared_refine(
         den = vm - 2.0 * v0 + vp
         d = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (vm - vp) / den, 0.0)
         d = jnp.clip(d, -0.5, 0.5)
-        return jnp.where((axis_idx >= 1) & (axis_idx <= n - 2), d, 0.0)
+        # borders AND -1e9-masked theta neighbors invalidate the quadratic
+        ok = (axis_idx >= 1) & (axis_idx <= n - 2) & (vm > -1e8) & (vp > -1e8)
+        return jnp.where(ok, d, 0.0)
 
     sub_t = subpeak(sf, gi, 0) * jnp.float32(dth_step)
     sub_r = subpeak(sf, ri, 1) * res
