@@ -18,14 +18,14 @@ import jax.numpy as jnp
 from slam2d_tpu.config import (
     FrontendConfig, GridConfig, MatcherConfig, PFConfig, SensorConfig,
 )
-from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import (
-    cell_center_world, scan_endpoints_local, world_to_cell,
-)
-from slam2d_tpu.grid.window import extract_window, scan_window_cells
+from slam2d_tpu.grid.window import scan_window_cells
 from slam2d_tpu.match.correlative import build_search_space
-from slam2d_tpu.ops.mxu_score import _endpoint_splat, _splat_inputs
-from slam2d_tpu.pf.shared_refine import shared_refine, _global_theta_grid
+from slam2d_tpu.pf.shared_refine import (
+    _global_theta_grid,
+    aligned_window,
+    endpoint_shift_stack,
+    shared_refine,
+)
 
 P = 100
 
@@ -71,17 +71,9 @@ def main():
     ranges = jnp.asarray(rng.uniform(1.0, 11.0, 180).astype(np.float32))
 
     def extract_roll(grids, priors):
-        def one(grid, prior):
-            center = world_to_cell(prior[:2], gcfg)
-            gw, (r0w, c0w) = extract_window(grid, center, win)
-            dr_ = (center[0] - win // 2) - r0w
-            dc_ = (center[1] - win // 2) - c0w
-            gw = jnp.roll(gw, (-dr_, -dc_), axis=(0, 1))
-            i = jnp.arange(win, dtype=jnp.int32)
-            m = ((i + dr_ >= 0) & (i + dr_ < win))[:, None] & (
-                (i + dc_ >= 0) & (i + dc_ < win))[None, :]
-            return gw * m.astype(gw.dtype)
-        return jax.vmap(one)(grids, priors)
+        return jax.vmap(
+            lambda g, p: aligned_window(g, p, gcfg, win)[0]
+        )(grids, priors)
 
     gw = timeit("extract+roll x100", jax.jit(extract_roll), grids, priors)
     S = timeit("blur x100",
@@ -93,18 +85,12 @@ def main():
                     .reshape(P, -1)), S)
 
     def build_stack(ranges, priors):
-        pts_local, valid = scan_endpoints_local(ranges, cfg.sensor)
         theta_ref = jnp.arctan2(jnp.mean(jnp.sin(priors[:, 2])),
                                 jnp.mean(jnp.cos(priors[:, 2])))
         dthg = (jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0) * jnp.float32(dth_step)
-        pts = se2.rotate_points(theta_ref + dthg, pts_local[None, :, :])
-        pos_col = jnp.where(valid[None, :], pts[..., 0] / res + win // 2, 0.0)
-        pos_row = jnp.where(valid[None, :], pts[..., 1] / res + win // 2, 0.0)
-        r0, c0, fr, fc, ok = _splat_inputs((win, win), pos_row, pos_col, valid, R, C, True)
-        E = _endpoint_splat(win, win, r0, c0, fr, fc, ok, jnp.bfloat16)
-        return jnp.stack([jnp.pad(E, ((0, 0), (dr, R - dr), (dc, C - dc)))
-                          for dr in range(R) for dc in range(C)],
-                         axis=1).reshape(G * R * C, -1)
+        return endpoint_shift_stack(
+            ranges, cfg.sensor, theta_ref + dthg, win, R, C, res, jnp.bfloat16
+        )
 
     stack = timeit("splat+stack (shared)", jax.jit(build_stack), ranges, priors)
     timeit("big matmul [100xK]@[KxGRC]",

@@ -138,11 +138,13 @@ class PFConfig:
     # one MXU-shaped matmul against a scan-shared endpoint-splat shift
     # stack on a global theta grid (pf/shared_refine.py); "per_particle"
     # vmaps the frontend matcher per particle (the reference-shaped
-    # formulation). "auto" picks shared when the PER-DEVICE particle
-    # count amortizes the shared stack build (~2 ms fixed cost, measured
-    # crossover ~25 particles), per_particle below that — small shards in
-    # the mesh-sharded PF rebuild the stack redundantly on every device,
-    # which is what a weak-scaling sweep at 8 particles/device sees.
+    # formulation). "auto" picks shared only on TPU (the MXU is its whole
+    # rationale; CPU keeps the f32 gather scorer, matching the other
+    # backend-resolved autos) AND when the PER-DEVICE particle count
+    # amortizes the shared stack build (~2 ms fixed cost, measured
+    # crossover ~25 particles) — small shards in the mesh-sharded PF
+    # rebuild the stack redundantly on every device, which is what a
+    # weak-scaling sweep at 8 particles/device sees.
     refine_mode: str = "auto"
     refine_shared_min_particles: int = 32
     # Extra global-theta slots on EACH side of the matcher's n_theta grid

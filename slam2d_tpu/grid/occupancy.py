@@ -294,12 +294,19 @@ def integrate_scan(
     continuous cell centers, so they derive the equivalent float origin."""
     import jax as _jax
 
+    import math as _math
+
     impl = cfg.update_impl
     if impl == "auto":
         if _jax.default_backend() != "tpu":
             impl = "sparse"
+        elif auto_ctx == "pf" and sensor.fov_rad <= _math.pi + 1e-6:
+            # the Pallas kernel compares an UNWRAPPED |phi - ab|, so beam
+            # angles past pi (fov > 180 deg) would never fire — wide-FOV
+            # sensors keep the per-beam-trig sparse path
+            impl = "pallas"
         else:
-            impl = "pallas" if auto_ctx == "pf" else "sparse_mxu"
+            impl = "sparse_mxu"
 
     if origin_rc is not None and impl in ("pallas", "dense"):
         origin_xy = (

@@ -33,6 +33,34 @@ from slam2d_tpu.grid.window import (
 from slam2d_tpu.match.correlative import build_search_space, match_scan
 
 
+def _resolve_refine_mode(pf: PFConfig, mcfg, local_particles: int) -> str:
+    """Resolve PFConfig.refine_mode for a step over `local_particles`.
+
+    "auto" picks the shared-anchor path only where its ~2 ms per-device
+    stack build pays off: on TPU (the MXU is its whole rationale — CPU
+    "auto" keeps the f32 per-particle gather scorer, matching how
+    score_impl/update_impl autos resolve) AND with enough LOCAL particles
+    to amortize it. An EXPLICIT "shared" request with a theta-less
+    matcher is an error rather than a silent fallback."""
+    mode = pf.refine_mode
+    if mode == "auto":
+        import jax as _jax
+
+        use_shared = (
+            _jax.default_backend() == "tpu"
+            and local_particles >= pf.refine_shared_min_particles
+            and mcfg.n_theta > 1
+        )
+        return "shared" if use_shared else "per_particle"
+    if mode == "shared" and mcfg.n_theta <= 1:
+        raise ValueError(
+            "refine_mode='shared' needs n_theta > 1 (the shared stack is "
+            "built on the global theta grid); got n_theta="
+            f"{mcfg.n_theta}. Use refine_mode='per_particle' or 'auto'."
+        )
+    return mode
+
+
 def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
     """PF refinement matcher config: frontend matcher with the PFConfig
     refine_* overrides applied (None = inherit)."""
@@ -195,13 +223,8 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
         mcfg = refine_matcher(cfg, pf)
-        mode = pf.refine_mode
-        if mode == "auto":
-            mode = (
-                "shared" if P >= pf.refine_shared_min_particles
-                else "per_particle"
-            )
-        if mode == "shared" and mcfg.n_theta > 1:
+        mode = _resolve_refine_mode(pf, mcfg, P)
+        if mode == "shared":
             from slam2d_tpu.pf.shared_refine import shared_refine
 
             matched, scores = shared_refine(

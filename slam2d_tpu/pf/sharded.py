@@ -37,6 +37,7 @@ from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import (
     refine_matcher,
     PFState,
+    _resolve_refine_mode,
     _windowed_match,
     _windowed_update,
     systematic_ancestors,
@@ -146,13 +147,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
             # nothing about its shapes depends on shard data). "auto"
             # gates on the LOCAL particle count: small shards don't
             # amortize the per-device stack build.
-            mode = pf.refine_mode
-            if mode == "auto":
-                mode = (
-                    "shared" if Pl >= pf.refine_shared_min_particles
-                    else "per_particle"
-                )
-            if mode == "shared" and mcfg.n_theta > 1:
+            if _resolve_refine_mode(pf, mcfg, Pl) == "shared":
                 from slam2d_tpu.pf.shared_refine import shared_refine
 
                 return shared_refine(

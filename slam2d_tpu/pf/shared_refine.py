@@ -67,6 +67,54 @@ def _global_theta_grid(mcfg: MatcherConfig, pad: int):
     return mcfg.n_theta + 2 * pad, step
 
 
+def aligned_window(grid, prior, gcfg, win: int):
+    """Extract the win x win window whose CENTER cell is the prior's cell,
+    even at map edges. extract_window clamps there, so the clamped
+    extraction is rolled back into the unclamped frame and the rolled-in
+    out-of-map cells are zeroed (log-odds 0 == unknown, their true state).
+    Returns (window, anchor world-xy = the prior's cell center)."""
+    center = world_to_cell(prior[:2], gcfg)
+    gw, (r0w, c0w) = extract_window(grid, center, win)
+    dr_ = (center[0] - win // 2) - r0w
+    dc_ = (center[1] - win // 2) - c0w
+    gw = jnp.roll(gw, (-dr_, -dc_), axis=(0, 1))
+    i = jnp.arange(win, dtype=jnp.int32)
+    rmask = (i + dr_ >= 0) & (i + dr_ < win)
+    cmask = (i + dc_ >= 0) & (i + dc_ < win)
+    gw = gw * (rmask[:, None] & cmask[None, :]).astype(gw.dtype)
+    return gw, cell_center_world(center, gcfg)
+
+
+def endpoint_shift_stack(ranges, sensor, thetas, win: int, R: int, C: int,
+                         res: float, cdtype):
+    """The scan-shared scorer weights: endpoint-splat images for every
+    theta in `thetas`, expanded to all (dr, dc) lags over the PADDED
+    window frame and flattened to [len(thetas)*R*C, (win+R)*(win+C)].
+
+    stack[g, dr*C+dc][h', w'] = E_g[h'-dr, w'-dc], so
+    <stack, pad(S)> == <E, S shifted by (dr, dc)> (emx lag semantics)."""
+    pts_local, valid = scan_endpoints_local(ranges, sensor)
+    pts = se2.rotate_points(thetas, pts_local[None, :, :])    # [G, B, 2]
+    # anchor sits exactly at the window's center cell CENTER, so its
+    # cell-center coordinate is the integer win//2 for every particle
+    # (window origins are lattice-aligned) — this is what makes E shared
+    pos_col = jnp.where(valid[None, :], pts[..., 0] / res + win // 2, 0.0)
+    pos_row = jnp.where(valid[None, :], pts[..., 1] / res + win // 2, 0.0)
+    r0, c0, fr, fc, ok = _splat_inputs(
+        (win, win), pos_row, pos_col, valid, R, C, bilinear=True
+    )
+    E = _endpoint_splat(win, win, r0, c0, fr, fc, ok, cdtype)
+    stack = jnp.stack(
+        [
+            jnp.pad(E, ((0, 0), (dr, R - dr), (dc, C - dc)))
+            for dr in range(R)
+            for dc in range(C)
+        ],
+        axis=1,
+    )                                                # [G, R*C, win+R, win+C]
+    return stack.reshape(thetas.shape[0] * R * C, (win + R) * (win + C))
+
+
 def shared_refine(
     grids,
     ranges,
@@ -96,7 +144,7 @@ def shared_refine(
     G, dth_step = _global_theta_grid(mcfg, pf.refine_theta_pad)
     cdtype = jnp.bfloat16 if mcfg.score_bf16 else jnp.float32
 
-    pts_local, valid = scan_endpoints_local(ranges, cfg.sensor)
+    _, valid = scan_endpoints_local(ranges, cfg.sensor)
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
     # --- shared endpoint-splat shift stack (scan x global theta grid) ------
@@ -107,32 +155,15 @@ def shared_refine(
         jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0
     ) * jnp.float32(dth_step)
     thetas = theta_ref + dthg                                  # [G]
-    pts = se2.rotate_points(thetas, pts_local[None, :, :])     # [G, B, 2]
-    # anchor sits exactly at the window's center cell CENTER, so its
-    # cell-center coordinate is the integer win//2 for every particle
-    # (window origins are lattice-aligned) — this is what makes E shared
-    pos_col = jnp.where(valid[None, :], pts[..., 0] / res + win // 2, 0.0)
-    pos_row = jnp.where(valid[None, :], pts[..., 1] / res + win // 2, 0.0)
-    r0, c0, fr, fc, ok = _splat_inputs(
-        (win, win), pos_row, pos_col, valid, R, C, bilinear=True
-    )
-    E = _endpoint_splat(win, win, r0, c0, fr, fc, ok, cdtype)  # [G, win, win]
-
-    # stack[g, dr*C+dc][h', w'] = E_g[h'-dr, w'-dc] over the PADDED frame,
-    # so <stack, pad(S)> == <E, S shifted by (dr, dc)> (emx lag semantics)
-    stack = jnp.stack(
-        [
-            jnp.pad(E, ((0, 0), (dr, R - dr), (dc, C - dc)))
-            for dr in range(R)
-            for dc in range(C)
-        ],
-        axis=1,
-    )                                                # [G, R*C, win+R, win+C]
     K = (win + R) * (win + C)
-    stack_flat = stack.reshape(G * R * C, K)
+    stack_flat = endpoint_shift_stack(
+        ranges, cfg.sensor, thetas, win, R, C, res, cdtype
+    )
 
     # --- per-particle: window -> blur -> one matmul row -> selection -------
     chunked = bool(pf.refine_chunk) and P > pf.refine_chunk
+    if chunked:
+        assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
     # the Pallas blur wins in the unchunked vmapped context (bench_pf 458
     # vs 445 scans/s at P=100) but loses inside the chunked lax.map
     # (FastSLAM-1000: 80.2 vs 83.0) — and the frontend's fused XLA chain
@@ -143,23 +174,10 @@ def shared_refine(
         grids_c, priors_c = args
 
         def one(grid, prior):
-            center = world_to_cell(prior[:2], gcfg)
-            gw, (r0w, c0w) = extract_window(grid, center, win)
-            # extract_window CLAMPS at map edges; the shared stack needs
-            # the anchor (the prior's cell) at exactly win//2 in EVERY
-            # window, so roll the clamped extraction back into the
-            # unclamped frame and zero the rolled-in out-of-map cells
-            # (log-odds 0 == unknown, their true state)
-            dr_ = (center[0] - win // 2) - r0w
-            dc_ = (center[1] - win // 2) - c0w
-            gw = jnp.roll(gw, (-dr_, -dc_), axis=(0, 1))
-            i = jnp.arange(win, dtype=jnp.int32)
-            rmask = (i + dr_ >= 0) & (i + dr_ < win)
-            cmask = (i + dc_ >= 0) & (i + dc_ < win)
-            gw = gw * (rmask[:, None] & cmask[None, :]).astype(gw.dtype)
+            gw, anchor_xy = aligned_window(grid, prior, gcfg, win)
             S = build_search_space(gw, mcfg, res, blur_impl=blur_impl)
             Sp = jnp.pad(S, ((0, R), (0, C))).astype(cdtype)
-            return Sp.reshape(K), cell_center_world(center, gcfg)
+            return Sp.reshape(K), anchor_xy
 
         Sp_flat, anchor_xy = jax.vmap(one)(grids_c, priors_c)
         raw = (
@@ -172,8 +190,7 @@ def shared_refine(
         )                                                  # [chunk, G*R*C]
         return raw, anchor_xy
 
-    if pf.refine_chunk and P > pf.refine_chunk:
-        assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
+    if chunked:
         nc = P // pf.refine_chunk
         raw, anchor_xy = jax.lax.map(
             chunk_scores,
@@ -238,6 +255,11 @@ def shared_refine(
         ],
         axis=1,
     )
-    keep = best_raw >= mcfg.min_score
+    # keep the prior when the best raw score is weak OR when the chosen
+    # slot is outside the particle's own theta range (a heading that
+    # drifted past every padded slot masks ALL candidates to -1e9; the
+    # argmax then lands on an out-of-range slot and must not be trusted —
+    # per_particle mode never leaves the particle's search box)
+    keep = (best_raw >= mcfg.min_score) & in_range[p_idx, gi]
     poses = jnp.where(keep[:, None], poses, priors)
     return poses, best_raw

@@ -134,3 +134,38 @@ def test_fastslam_shared_mode_beats_odometry():
     ate_odom = ate_rmse(log["odom"], log["gt_poses"], align=False)
     assert np.isfinite(np.asarray(traj)).all()
     assert ate < ate_odom, (ate, ate_odom)
+
+
+def test_far_heading_particle_keeps_prior():
+    """A particle whose heading drifted beyond every padded global-theta
+    slot has all candidates masked — it must keep its prior, never snap
+    toward the swarm mean (the mask fails CLOSED)."""
+    grid, true_pose, ranges = _mapped_world()
+    P = 8
+    priors = np.tile(true_pose, (P, 1)).astype(np.float32)
+    priors[0, 2] += 1.2  # far outside search_theta + pad*step
+    pf = PFConfig(n_particles=P)
+    poses, scores = shared_refine(
+        jnp.tile(grid[None], (P, 1, 1)), ranges, jnp.asarray(priors),
+        CFG, MCFG, pf,
+    )
+    np.testing.assert_allclose(np.asarray(poses[0]), priors[0], atol=1e-6)
+
+
+def test_explicit_shared_mode_rejects_theta_less_matcher():
+    import pytest
+
+    from slam2d_tpu.pf.fastslam import _resolve_refine_mode
+
+    mcfg = dataclasses.replace(MCFG, n_theta=1)
+    with pytest.raises(ValueError):
+        _resolve_refine_mode(
+            PFConfig(n_particles=8, refine_mode="shared"), mcfg, 8
+        )
+    # auto silently falls back instead
+    assert (
+        _resolve_refine_mode(
+            PFConfig(n_particles=64, refine_mode="auto"), mcfg, 64
+        )
+        == "per_particle"
+    )
