@@ -57,6 +57,85 @@ def graph_init(cfg: GraphConfig) -> PoseGraph:
     )
 
 
+class HostGraph:
+    """Host-side graph builder mirroring PoseGraph's layout in numpy.
+
+    Keyframe admission is a host event: building the graph with eager
+    device `.at[].set` updates costs several eager dispatches per
+    keyframe, which over a remote-TPU tunnel measured ~175 ms/keyframe
+    of pure latency (full-SLAM throughput 36.5 -> 86.9 scans/s tracking
+    bound once removed). Nodes/edges accumulate in numpy; `to_device()`
+    materializes a PoseGraph with ONE transfer when an optimizer runs."""
+
+    def __init__(self, cfg: GraphConfig):
+        import numpy as np
+
+        K, E = cfg.max_nodes, cfg.max_edges
+        self.poses = np.zeros((K, 3), np.float32)
+        self.node_mask = np.zeros(K, bool)
+        self.n_nodes = 0
+        self.edges_ij = np.zeros((E, 2), np.int32)
+        self.edges_z = np.zeros((E, 3), np.float32)
+        self.edges_omega = np.zeros((E, 3, 3), np.float32)
+        self.edge_mask = np.zeros(E, bool)
+        self.n_edges = 0
+
+    @classmethod
+    def from_arrays(cls, cfg: GraphConfig, g) -> "HostGraph":
+        """Restore from a checkpointed PoseGraph-shaped tree (np or jnp)."""
+        import numpy as np
+
+        self = cls(cfg)
+        self.poses = np.array(g.poses, np.float32)
+        self.node_mask = np.array(g.node_mask, bool)
+        self.n_nodes = int(g.n_nodes)
+        self.edges_ij = np.array(g.edges_ij, np.int32)
+        self.edges_z = np.array(g.edges_z, np.float32)
+        self.edges_omega = np.array(g.edges_omega, np.float32)
+        self.edge_mask = np.array(g.edge_mask, bool)
+        self.n_edges = int(g.n_edges)
+        return self
+
+    def add_node(self, pose) -> int:
+        import numpy as np
+
+        k = self.n_nodes
+        self.poses[k] = np.asarray(pose, np.float32)
+        self.node_mask[k] = True
+        self.n_nodes = k + 1
+        return k
+
+    def add_edge(self, i: int, j: int, z, omega) -> int:
+        import numpy as np
+
+        e = self.n_edges
+        self.edges_ij[e] = (i, j)
+        self.edges_z[e] = np.asarray(z, np.float32)
+        self.edges_omega[e] = np.asarray(omega, np.float32)
+        self.edge_mask[e] = True
+        self.n_edges = e + 1
+        return e
+
+    def to_device(self) -> PoseGraph:
+        return PoseGraph(
+            poses=jnp.asarray(self.poses),
+            node_mask=jnp.asarray(self.node_mask),
+            n_nodes=jnp.int32(self.n_nodes),
+            edges_ij=jnp.asarray(self.edges_ij),
+            edges_z=jnp.asarray(self.edges_z),
+            edges_omega=jnp.asarray(self.edges_omega),
+            edge_mask=jnp.asarray(self.edge_mask),
+            n_edges=jnp.int32(self.n_edges),
+        )
+
+    def set_poses(self, poses) -> None:
+        """Write back optimizer-corrected node estimates (host copy)."""
+        import numpy as np
+
+        n = len(poses)
+        self.poses[:n] = np.asarray(poses, np.float32)
+
+
 def add_node(g: PoseGraph, pose) -> PoseGraph:
     k = g.n_nodes
     return g._replace(

@@ -234,6 +234,17 @@ def _np_between(a, b):
     )
 
 
+def _np_between_batch(a, B):
+    """_np_between(a, b) for every row b of B [N, 3] -> [N, 3]."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dx, dy = B[:, 0] - a[0], B[:, 1] - a[1]
+    return np.stack(
+        [c * dx + s * dy, -s * dx + c * dy,
+         (B[:, 2] - a[2] + np.pi) % (2 * np.pi) - np.pi],
+        axis=1,
+    ).astype(np.float32)
+
+
 def _np_compose(a, d):
     c, s = np.cos(a[2]), np.sin(a[2])
     return np.array(

@@ -35,6 +35,11 @@ from slam2d_tpu.match.correlative import (
     peak_uniqueness,
 )
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
+from slam2d_tpu.run.frontend_tiled import (
+    _np_between,
+    _np_between_batch,
+    _np_compose,
+)
 
 
 def _make_rebuild_chunk(cfg: FrontendConfig, gcfg):
@@ -350,7 +355,7 @@ def run_full_slam(
     # host-side keyframe store (restored from `resume` when given)
     if resume is not None:
         state = jax.tree.map(jnp.asarray, resume["frontend"])
-        graph = jax.tree.map(jnp.asarray, resume["graph"])
+        graph = se2_graph.HostGraph.from_arrays(graph_cfg, resume["graph"])
         kc = int(resume["kf_count"])
         kf_poses = [np.asarray(resume["kf_poses"][k]) for k in range(kc)]
         kf_scans = [np.asarray(resume["kf_scans"][k]) for k in range(kc)]
@@ -367,7 +372,7 @@ def run_full_slam(
             rebuild.restore(resume["map_poses"], resume["map_pose_count"])
     else:
         state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
-        graph = se2_graph.graph_init(graph_cfg)
+        graph = se2_graph.HostGraph(graph_cfg)
         kf_poses = []
         kf_scans = []
         kf_scan_idx = []
@@ -380,20 +385,16 @@ def run_full_slam(
     attempt_records: list = []
 
     def admit_keyframe(pose, scan_i):
-        nonlocal graph
+        # pure-host admission: an eager device graph update here costs
+        # several remote dispatches PER KEYFRAME (see se2_graph.HostGraph)
         kf_poses.append(pose.copy())
         kf_scans.append(ranges_np[scan_i])
         kf_scan_idx.append(scan_i + scan_index_offset)  # absolute index
-        graph = se2_graph.add_node(graph, jnp.asarray(pose))
+        graph.add_node(pose)
         k = len(kf_poses) - 1
         if k > 0:
-            z = np.asarray(
-                se2.between(jnp.asarray(kf_poses[k - 1]), jnp.asarray(pose))
-            )
-            graph = se2_graph.add_edge(
-                graph, k - 1, k, jnp.asarray(z),
-                jnp.eye(3) * odom_edge_info,
-            )
+            z = _np_between(kf_poses[k - 1], pose)
+            graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
     def find_loop(k_new: int):
@@ -408,7 +409,7 @@ def run_full_slam(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal graph, n_loops, chi2, state
+        nonlocal n_loops, chi2, state
         i = find_loop(k_new)
         if i is None:
             return False
@@ -418,10 +419,8 @@ def run_full_slam(
         lo = max(0, i - submap_halfwidth)
         hi = min(len(kf_poses), i + submap_halfwidth + 1)
         Kmax = graph_cfg.max_nodes
-        anchor = jnp.asarray(kf_poses[i])
-        rel = np.asarray(
-            se2.between(anchor[None, :], jnp.asarray(np.stack(kf_poses[lo:hi])))
-        )
+        anchor = kf_poses[i]
+        rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
         poses_buf = np.zeros((Kmax, 3), np.float32)
         scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
         mask_buf = np.zeros(Kmax, np.float32)
@@ -433,13 +432,13 @@ def run_full_slam(
             jnp.asarray(poses_buf), jnp.asarray(scans_buf),
             jnp.asarray(mask_buf), n_active=nsub,
         )
-        prior = jnp.asarray(kf_poses[k_new])
-        prior_rel = se2.between(anchor, prior)
-        matched_rel, score, margin = loop_match(
-            submap, jnp.asarray(ranges_np[scan_i]), prior_rel
-        )
+        prior = kf_poses[k_new]
+        prior_rel = _np_between(anchor, prior)
+        matched_rel, score, margin = jax.device_get(loop_match(
+            submap, jnp.asarray(ranges_np[scan_i]), jnp.asarray(prior_rel)
+        ))
         # correction implied on the current estimate (the plausibility gate)
-        corr = np.asarray(se2.between(prior_rel, matched_rel))
+        corr = _np_between(prior_rel, matched_rel)
         attempt = [float(i), float(k_new), float(score), float(margin),
                    float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
         attempt_records.append(attempt)
@@ -453,30 +452,29 @@ def run_full_slam(
         ):
             return False
         attempt[6] = 1.0
-        matched = se2.compose(anchor, matched_rel)
-        z = np.asarray(matched_rel)
-        graph = se2_graph.add_edge(
-            graph, i, k_new, jnp.asarray(z), jnp.eye(3) * loop_edge_info
-        )
+        z = np.asarray(matched_rel, np.float32)
+        graph.add_edge(i, k_new, z, np.eye(3) * loop_edge_info)
         loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
         n_loops += 1
 
-        # optimize + apply corrections
+        # optimize + apply corrections (ONE host->device graph transfer)
+        dev_graph = graph.to_device()
         if optimizer == "schur":
             from slam2d_tpu.graph.schur import optimize_schur
 
-            graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+            dev_graph, chi = optimize_schur(dev_graph, graph_cfg, n_blocks=4)
         elif optimizer == "schur_sharded":
             from slam2d_tpu.graph.schur import optimize_schur_sharded
             from slam2d_tpu.parallel.mesh import make_particle_mesh
 
             mesh = make_particle_mesh()
-            graph, chi = optimize_schur_sharded(graph, graph_cfg, mesh)
+            dev_graph, chi = optimize_schur_sharded(dev_graph, graph_cfg, mesh)
         else:
-            graph, chi = se2_graph.optimize(graph, graph_cfg)
+            dev_graph, chi = se2_graph.optimize(dev_graph, graph_cfg)
         chi2 = float(chi)
         old_kf = np.stack(kf_poses)
-        corrected = np.asarray(graph.poses[: len(kf_poses)])
+        corrected = np.asarray(dev_graph.poses[: len(kf_poses)])
+        graph.set_poses(corrected)
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
         # retro-correct the emitted per-scan trajectory: scans between
@@ -486,9 +484,8 @@ def run_full_slam(
             offset=scan_index_offset,
         )
         # patch the live frontend: pose rides with the last keyframe
-        last = jnp.asarray(kf_poses[-1])
-        delta = se2.between(prior, state.pose)
-        new_pose = se2.compose(last, delta)
+        delta = _np_between(prior, np.asarray(state.pose))
+        new_pose = jnp.asarray(_np_compose(kf_poses[-1], delta))
         # rebuild the global map from all (corrected) keyframes
         poses_buf = np.zeros((Kmax, 3), np.float32)
         scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
@@ -550,7 +547,7 @@ def run_full_slam(
 
     ckpt = fullslam_ckpt_template(cfg, graph_cfg)
     ckpt["frontend"] = state
-    ckpt["graph"] = graph
+    ckpt["graph"] = graph.to_device()
     nk = len(kf_poses)
     if nk:
         ckpt["kf_poses"][:nk] = np.stack(kf_poses)

@@ -28,6 +28,7 @@ from slam2d_tpu.grid.window import blur_halo_cells
 from slam2d_tpu.match.correlative import build_search_space
 from slam2d_tpu.run.frontend_tiled import (
     _np_between,
+    _np_between_batch,
     _np_compose,
     _param_grid_cfg,
     make_tiled_chunk_fn,
@@ -249,7 +250,7 @@ def run_full_slam_tiled(
     table = TileTable(tcfg)
     if resume is not None:
         state = jax.tree.map(jnp.asarray, resume["frontend"])
-        graph = jax.tree.map(jnp.asarray, resume["graph"])
+        graph = se2_graph.HostGraph.from_arrays(graph_cfg, resume["graph"])
         # rebuild the host slot table from the restored coords (slots are
         # assigned sequentially, so insertion order == slot index)
         coords_np = np.asarray(state.grid.coords)
@@ -272,7 +273,7 @@ def run_full_slam_tiled(
         state = tiled_frontend_init(
             tcfg, start_pose=odom_np[0], start_odom=odom_np[0]
         )
-        graph = se2_graph.graph_init(graph_cfg)
+        graph = se2_graph.HostGraph(graph_cfg)
         kf_poses = []
         kf_scans = []
         kf_scan_idx = []
@@ -285,19 +286,16 @@ def run_full_slam_tiled(
     attempt_records: list = []
 
     def admit_keyframe(pose, scan_i):
-        nonlocal graph
+        # pure-host admission: an eager device graph update here costs
+        # several remote dispatches PER KEYFRAME (see se2_graph.HostGraph)
         kf_poses.append(pose.copy())
         kf_scans.append(ranges_np[scan_i])
         kf_scan_idx.append(scan_i + scan_index_offset)  # absolute index
-        graph = se2_graph.add_node(graph, jnp.asarray(pose))
+        graph.add_node(pose)
         k = len(kf_poses) - 1
         if k > 0:
-            z = np.asarray(
-                se2.between(jnp.asarray(kf_poses[k - 1]), jnp.asarray(pose))
-            )
-            graph = se2_graph.add_edge(
-                graph, k - 1, k, jnp.asarray(z), jnp.eye(3) * odom_edge_info
-            )
+            z = _np_between(kf_poses[k - 1], pose)
+            graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
     def find_loop(k_new: int):
@@ -310,17 +308,15 @@ def run_full_slam_tiled(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal graph, n_loops, chi2, state
+        nonlocal n_loops, chi2, state
         i = find_loop(k_new)
         if i is None:
             return False
         lo = max(0, i - submap_halfwidth)
         hi = min(len(kf_poses), i + submap_halfwidth + 1)
         Kmax = graph_cfg.max_nodes
-        anchor = jnp.asarray(kf_poses[i])
-        rel = np.asarray(
-            se2.between(anchor[None, :], jnp.asarray(np.stack(kf_poses[lo:hi])))
-        )
+        anchor = kf_poses[i]
+        rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
         poses_buf = np.zeros((Kmax, 3), np.float32)
         scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
         mask_buf = np.zeros(Kmax, np.float32)
@@ -332,12 +328,12 @@ def run_full_slam_tiled(
             jnp.asarray(poses_buf), jnp.asarray(scans_buf),
             jnp.asarray(mask_buf), n_active=nsub,
         )
-        prior = jnp.asarray(kf_poses[k_new])
-        prior_rel = se2.between(anchor, prior)
-        matched_rel, score, margin = loop_match(
-            submap, jnp.asarray(ranges_np[scan_i]), prior_rel
-        )
-        corr = np.asarray(se2.between(prior_rel, matched_rel))
+        prior = kf_poses[k_new]
+        prior_rel = _np_between(anchor, prior)
+        matched_rel, score, margin = jax.device_get(loop_match(
+            submap, jnp.asarray(ranges_np[scan_i]), jnp.asarray(prior_rel)
+        ))
+        corr = _np_between(prior_rel, matched_rel)
         attempt = [float(i), float(k_new), float(score), float(margin),
                    float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
         attempt_records.append(attempt)
@@ -352,36 +348,35 @@ def run_full_slam_tiled(
             return False
         attempt[6] = 1.0
         z = np.asarray(matched_rel)
-        graph = se2_graph.add_edge(
-            graph, i, k_new, jnp.asarray(z), jnp.eye(3) * loop_edge_info
-        )
+        graph.add_edge(i, k_new, z, np.eye(3) * loop_edge_info)
         loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
         n_loops += 1
 
+        dev_graph = graph.to_device()
         if optimizer == "schur":
             from slam2d_tpu.graph.schur import optimize_schur
 
-            graph, chi = optimize_schur(graph, graph_cfg, n_blocks=4)
+            dev_graph, chi = optimize_schur(dev_graph, graph_cfg, n_blocks=4)
         elif optimizer == "schur_sharded":
             from slam2d_tpu.graph.schur import optimize_schur_sharded
             from slam2d_tpu.parallel.mesh import make_particle_mesh
 
             mesh = make_particle_mesh()
-            graph, chi = optimize_schur_sharded(graph, graph_cfg, mesh)
+            dev_graph, chi = optimize_schur_sharded(dev_graph, graph_cfg, mesh)
         else:
-            graph, chi = se2_graph.optimize(graph, graph_cfg)
+            dev_graph, chi = se2_graph.optimize(dev_graph, graph_cfg)
         chi2 = float(chi)
         old_kf = np.stack(kf_poses)
-        corrected = np.asarray(graph.poses[: len(kf_poses)])
+        corrected = np.asarray(dev_graph.poses[: len(kf_poses)])
+        graph.set_poses(corrected)
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
         _retro_correct_traj(
             traj_out, kf_scan_idx, old_kf, corrected, scan_i,
             offset=scan_index_offset,
         )
-        last = jnp.asarray(kf_poses[-1])
-        delta = se2.between(prior, state.pose)
-        new_pose = se2.compose(last, delta)
+        delta = _np_between(prior, np.asarray(state.pose))
+        new_pose = jnp.asarray(_np_compose(kf_poses[-1], delta))
 
         # activate tiles for corrected keyframes, rebuild both tile sets
         need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
@@ -452,7 +447,7 @@ def run_full_slam_tiled(
 
     ckpt = fullslam_tiled_ckpt_template(cfg, tcfg, graph_cfg)
     ckpt["frontend"] = state
-    ckpt["graph"] = graph
+    ckpt["graph"] = graph.to_device()
     nk = len(kf_poses)
     if nk:
         ckpt["kf_poses"][:nk] = np.stack(kf_poses)
