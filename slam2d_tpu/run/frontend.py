@@ -201,9 +201,13 @@ def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = N
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        trajs.append(np.asarray(tr))
-        scores.append(np.asarray(sc))
+        # keep outputs on device: a blocking fetch PER CHUNK serializes the
+        # host loop on transfer latency (costly over a remote-TPU tunnel);
+        # one device_get at the end drains everything in a single round trip
+        trajs.append(tr)
+        scores.append(sc)
 
+    trajs, scores = jax.device_get((trajs, scores))
     traj = np.concatenate(trajs)[:T]
     score = np.concatenate(scores)[:T]
     return state, traj, score

@@ -45,10 +45,13 @@ def run_sharded_fastslam(
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
         state, (bp, ne, sc) = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        trajs.append(np.asarray(bp))
-        neffs.append(np.asarray(ne))
-        scores.append(np.asarray(sc))
+        # outputs stay on device; one device_get at the end (see
+        # run/frontend.py — per-chunk fetches serialize on transfer latency)
+        trajs.append(bp)
+        neffs.append(ne)
+        scores.append(sc)
 
+    trajs, neffs, scores = jax.device_get((trajs, neffs, scores))
     return (
         state,
         np.concatenate(trajs)[:T],
