@@ -86,13 +86,23 @@ def aligned_window(grid, prior, gcfg, win: int):
 
 
 def endpoint_shift_stack(ranges, sensor, thetas, win: int, R: int, C: int,
-                         res: float, cdtype):
+                         res: float, cdtype, pad_s: bool = False):
     """The scan-shared scorer weights: endpoint-splat images for every
-    theta in `thetas`, expanded to all (dr, dc) lags over the PADDED
-    window frame and flattened to [len(thetas)*R*C, (win+R)*(win+C)].
+    theta in `thetas`, expanded to all (dr, dc) lags and flattened.
 
-    stack[g, dr*C+dc][h', w'] = E_g[h'-dr, w'-dc], so
-    <stack, pad(S)> == <E, S shifted by (dr, dc)> (emx lag semantics)."""
+    With pad_s=False (the unchunked default), the stack lives in the
+    UNPADDED window frame — stack[g, dr*C+dc][h', w'] = E_g[h'-dr, w'-dc],
+    zero where the shift runs off the low edge — so
+
+        <stack[g, l], S> == <E_g, pad(S)[dr:dr+win, dc:dc+win]>
+
+    i.e. exactly emx's lag semantics with NO padding of S (the padded-S
+    form costs ~1.8 ms of pure pad+copy per FastSLAM-100 refine;
+    measured 457.0 -> 464.3 scans/s). With pad_s=True the stack is built
+    over the (win+R, win+C) zero-padded frame and the caller pads S to
+    match — measured FASTER inside the chunked lax.map (FastSLAM-1000
+    83.0 vs 74.6 scans/s with the cropped form; the pad+crop stack and
+    per-chunk padded S schedule differently there)."""
     pts_local, valid = scan_endpoints_local(ranges, sensor)
     pts = se2.rotate_points(thetas, pts_local[None, :, :])    # [G, B, 2]
     # anchor sits exactly at the window's center cell CENTER, so its
@@ -104,15 +114,25 @@ def endpoint_shift_stack(ranges, sensor, thetas, win: int, R: int, C: int,
         (win, win), pos_row, pos_col, valid, R, C, bilinear=True
     )
     E = _endpoint_splat(win, win, r0, c0, fr, fc, ok, cdtype)
+    if pad_s:
+        stack = jnp.stack(
+            [
+                jnp.pad(E, ((0, 0), (dr, R - dr), (dc, C - dc)))
+                for dr in range(R)
+                for dc in range(C)
+            ],
+            axis=1,
+        )                                            # [G, R*C, win+R, win+C]
+        return stack.reshape(thetas.shape[0] * R * C, (win + R) * (win + C))
     stack = jnp.stack(
         [
-            jnp.pad(E, ((0, 0), (dr, R - dr), (dc, C - dc)))
+            jnp.pad(E, ((0, 0), (dr, 0), (dc, 0)))[:, :win, :win]
             for dr in range(R)
             for dc in range(C)
         ],
         axis=1,
-    )                                                # [G, R*C, win+R, win+C]
-    return stack.reshape(thetas.shape[0] * R * C, (win + R) * (win + C))
+    )                                                # [G, R*C, win, win]
+    return stack.reshape(thetas.shape[0] * R * C, win * win)
 
 
 def shared_refine(
@@ -155,15 +175,16 @@ def shared_refine(
         jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0
     ) * jnp.float32(dth_step)
     thetas = theta_ref + dthg                                  # [G]
-    K = (win + R) * (win + C)
-    stack_flat = endpoint_shift_stack(
-        ranges, cfg.sensor, thetas, win, R, C, res, cdtype
-    )
-
-    # --- per-particle: window -> blur -> one matmul row -> selection -------
     chunked = bool(pf.refine_chunk) and P > pf.refine_chunk
     if chunked:
         assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
+    # stack frame follows the chunking mode — see endpoint_shift_stack
+    K = (win + R) * (win + C) if chunked else win * win
+    stack_flat = endpoint_shift_stack(
+        ranges, cfg.sensor, thetas, win, R, C, res, cdtype, pad_s=chunked
+    )
+
+    # --- per-particle: window -> blur -> one matmul row -> selection -------
     # the Pallas blur wins in the unchunked vmapped context (bench_pf 458
     # vs 445 scans/s at P=100) but loses inside the chunked lax.map
     # (FastSLAM-1000: 80.2 vs 83.0) — and the frontend's fused XLA chain
@@ -176,8 +197,9 @@ def shared_refine(
         def one(grid, prior):
             gw, anchor_xy = aligned_window(grid, prior, gcfg, win)
             S = build_search_space(gw, mcfg, res, blur_impl=blur_impl)
-            Sp = jnp.pad(S, ((0, R), (0, C))).astype(cdtype)
-            return Sp.reshape(K), anchor_xy
+            if chunked:
+                S = jnp.pad(S, ((0, R), (0, C)))
+            return S.astype(cdtype).reshape(K), anchor_xy
 
         Sp_flat, anchor_xy = jax.vmap(one)(grids_c, priors_c)
         raw = (
