@@ -185,10 +185,51 @@ def shared_refine(
     )
 
     # --- per-particle: window -> blur -> one matmul row -> selection -------
-    # the Pallas blur wins in the unchunked vmapped context (bench_pf 458
-    # vs 445 scans/s at P=100) but loses inside the chunked lax.map
-    # (FastSLAM-1000: 80.2 vs 83.0) — and the frontend's fused XLA chain
-    # beats it too; see _separable_blur's docstring
+    # Unchunked path: ops/pallas_field.py fuses the whole per-particle
+    # chain (window DMA, unclamped-frame roll+mask, blur, free-space field,
+    # astype) into one kernel — one HBM read + one write per particle.
+    # Chunked lax.map keeps the XLA chain (padded-S frame; see
+    # endpoint_shift_stack) and small/odd map shapes fall back too.
+    from slam2d_tpu.grid.window import blur_halo_cells
+    from slam2d_tpu.match.correlative import _gaussian_kernel_1d
+    from slam2d_tpu.ops.pallas_field import (
+        fused_field_supported,
+        fused_window_field,
+    )
+
+    hw = blur_halo_cells(mcfg, res)
+    fpad = max(8, ((hw + 7) // 8) * 8)
+    Hm, Wm = grids.shape[1], grids.shape[2]
+    use_fused = (
+        not chunked
+        and win <= 768
+        and fused_field_supported(Hm, Wm, win, fpad)
+    )
+    if use_fused:
+        centers = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(priors)
+        taps = tuple(
+            float(v) for v in _gaussian_kernel_1d(mcfg.sigma_m / res, hw)
+        )
+        Sp = fused_window_field(
+            grids,
+            centers - win // 2,
+            win,
+            taps,
+            1.0 / mcfg.occ_evidence_sat,
+            math.log(mcfg.free_threshold / (1.0 - mcfg.free_threshold)),
+            mcfg.free_penalty,
+            out_dtype=cdtype,
+            interpret=jax.default_backend() != "tpu",
+        )
+        raw = (
+            jax.lax.dot_general(
+                Sp.reshape(P, K), stack_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            / denom
+        )
+        anchor_xy = cell_center_world(centers, gcfg)
     blur_impl = "pallas" if (win <= 768 and not chunked) else "xla"
 
     def chunk_scores(args):
@@ -223,7 +264,7 @@ def shared_refine(
         )
         raw = raw.reshape(P, G * R * C)
         anchor_xy = anchor_xy.reshape(P, 2)
-    else:
+    elif not use_fused:
         raw, anchor_xy = chunk_scores((grids, priors))
     raw = raw.reshape(P, G, R, C)
 
