@@ -117,6 +117,7 @@ def _update_kernel(
     ox = scalars_ref[3]
     oy = scalars_ref[4]
     enable = scalars_ref[5]
+    rmax_eff = scalars_ref[6]   # max valid clipped range (-1: no valid beams)
 
     row = (
         lax.broadcasted_iota(jnp.int32, (block_rows, block_cols), 0).astype(jnp.float32)
@@ -128,12 +129,23 @@ def _update_kernel(
     )
     cx = ox + (col + 0.5) * resolution - px
     cy = oy + (row + 0.5) * resolution - py
-    d = jnp.sqrt(cx * cx + cy * cy)
-    phi = _atan2(cy, cx) - ptheta - angle_min
-    phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
-
+    d2 = cx * cx + cy * cy
     half_slot = 0.5 * step
     occ_tol = 0.75 * resolution
+
+    # RANGE EARLY-OUT: no test can fire on a tile whose nearest cell lies
+    # beyond every beam (free needs d < rmin3 - res <= rmax_eff, occ needs
+    # d <= r_hit + occ_tol <= rmax_eff + occ_tol). The update window is
+    # statically sized by sensor.max_range, but the scan's REAL ranges
+    # bound the touchable disk — far tiles clamp the beam loop to zero
+    # trips (branch-free; a pl.when around the whole body was measured
+    # 5% slower at long ranges from the duplicated epilogue).
+    rmax_t = rmax_eff + occ_tol
+    untouched = jnp.min(d2) > rmax_t * rmax_t
+
+    d = jnp.sqrt(d2)
+    phi = _atan2(cy, cx) - ptheta - angle_min
+    phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
     # occ angular gate as a per-cell threshold plane: dphi * d <= tol
     # becomes dphi <= tol / d, hoisting the multiply out of the beam loop
     tol_d = occ_tol / jnp.maximum(d, 1e-6)
@@ -144,8 +156,9 @@ def _update_kernel(
     phi_hi = jnp.max(phi)
     thr = jnp.maximum(
         jnp.float32(half_slot), occ_tol / jnp.maximum(jnp.min(d), 1e-6)
-    ) + jnp.float32(2.0 * step)   # slack: the clip must never be the
-    #                               tight constraint (fp rounding safety)
+    ) + jnp.float32(0.25 * step)  # slack: fp-rounding headroom for the
+    #                               floor below (~4 orders of magnitude
+    #                               above the actual error)
     n_chunks = (n_beams + _UNROLL - 1) // _UNROLL
     cspan = jnp.float32(_UNROLL * step)
     c_lo = jnp.floor((phi_lo - thr) / cspan).astype(jnp.int32)
@@ -153,6 +166,7 @@ def _update_kernel(
     full = (phi_hi - phi_lo) > jnp.float32(jnp.pi)
     c_lo = jnp.where(full, 0, jnp.clip(c_lo, 0, n_chunks))
     c_hi = jnp.where(full, n_chunks, jnp.clip(c_hi, 0, n_chunks))
+    c_hi = jnp.where(untouched, c_lo, c_hi)   # range early-out: zero trips
 
     def chunk(bu, carry):
         free, occ = carry
@@ -243,12 +257,16 @@ def pallas_dense_update(
         rmin3 = jnp.concatenate([rmin3, jnp.full((pad,), -1.0, jnp.float32)])
         B = B + pad
 
+    # tightest disk any test can touch (kernel range early-out); the 0.0
+    # floor keeps the squared-radius compare meaningful when no beam is
+    # valid (no test can fire then, so every skip is trivially correct)
+    rmax_eff = jnp.maximum(jnp.max(jnp.where(valid, r, -1.0)), 0.0)
     scalars = jnp.stack(
         [
             pose[0], pose[1], pose[2],
             jnp.asarray(ox, jnp.float32), jnp.asarray(oy, jnp.float32),
             jnp.asarray(enable, jnp.float32),
-            jnp.float32(0.0), jnp.float32(0.0),
+            rmax_eff, jnp.float32(0.0),
         ]
     )
 
