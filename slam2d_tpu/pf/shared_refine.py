@@ -178,18 +178,14 @@ def shared_refine(
     chunked = bool(pf.refine_chunk) and P > pf.refine_chunk
     if chunked:
         assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
-    # stack frame follows the chunking mode — see endpoint_shift_stack
-    K = (win + R) * (win + C) if chunked else win * win
-    stack_flat = endpoint_shift_stack(
-        ranges, cfg.sensor, thetas, win, R, C, res, cdtype, pad_s=chunked
-    )
 
-    # --- per-particle: window -> blur -> one matmul row -> selection -------
-    # Unchunked path: ops/pallas_field.py fuses the whole per-particle
-    # chain (window DMA, unclamped-frame roll+mask, blur, free-space field,
-    # astype) into one kernel — one HBM read + one write per particle.
-    # Chunked lax.map keeps the XLA chain (padded-S frame; see
-    # endpoint_shift_stack) and small/odd map shapes fall back too.
+    # --- per-particle field builder choice ----------------------------------
+    # ops/pallas_field.py fuses the whole per-particle chain (window DMA,
+    # unclamped-frame roll+mask, blur, free-space field, astype) into one
+    # kernel — one HBM read + one write per particle — and is used in BOTH
+    # the vmapped and the chunked lax.map paths when the map shape supports
+    # the aligned-DMA covering argument. Small/odd map shapes fall back to
+    # the XLA chain.
     from slam2d_tpu.grid.window import blur_halo_cells
     from slam2d_tpu.match.correlative import _gaussian_kernel_1d
     from slam2d_tpu.ops.pallas_field import (
@@ -200,18 +196,25 @@ def shared_refine(
     hw = blur_halo_cells(mcfg, res)
     fpad = max(8, ((hw + 7) // 8) * 8)
     Hm, Wm = grids.shape[1], grids.shape[2]
-    use_fused = (
-        not chunked
-        and win <= 768
-        and fused_field_supported(Hm, Wm, win, fpad)
+    use_fused = win <= 768 and fused_field_supported(Hm, Wm, win, fpad)
+
+    # stack frame follows the field builder: the fused kernel emits the
+    # unpadded win^2 frame in every mode; the chunked XLA chain keeps the
+    # padded-S frame (see endpoint_shift_stack — pad+crop stacks schedule
+    # worse inside lax.map THERE, but the fused kernel has no such chain)
+    pad_stack = chunked and not use_fused
+    K = (win + R) * (win + C) if pad_stack else win * win
+    stack_flat = endpoint_shift_stack(
+        ranges, cfg.sensor, thetas, win, R, C, res, cdtype, pad_s=pad_stack
     )
-    if use_fused:
-        centers = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(priors)
+
+    def fused_scores(grids_c, priors_c):
+        centers = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(priors_c)
         taps = tuple(
             float(v) for v in _gaussian_kernel_1d(mcfg.sigma_m / res, hw)
         )
         Sp = fused_window_field(
-            grids,
+            grids_c,
             centers - win // 2,
             win,
             taps,
@@ -223,13 +226,14 @@ def shared_refine(
         )
         raw = (
             jax.lax.dot_general(
-                Sp.reshape(P, K), stack_flat,
+                Sp.reshape(Sp.shape[0], K), stack_flat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             / denom
         )
-        anchor_xy = cell_center_world(centers, gcfg)
+        return raw, cell_center_world(centers, gcfg)
+
     blur_impl = "pallas" if (win <= 768 and not chunked) else "xla"
 
     def chunk_scores(args):
@@ -238,7 +242,7 @@ def shared_refine(
         def one(grid, prior):
             gw, anchor_xy = aligned_window(grid, prior, gcfg, win)
             S = build_search_space(gw, mcfg, res, blur_impl=blur_impl)
-            if chunked:
+            if pad_stack:
                 S = jnp.pad(S, ((0, R), (0, C)))
             return S.astype(cdtype).reshape(K), anchor_xy
 
@@ -255,8 +259,9 @@ def shared_refine(
 
     if chunked:
         nc = P // pf.refine_chunk
+        fn = (lambda a: fused_scores(*a)) if use_fused else chunk_scores
         raw, anchor_xy = jax.lax.map(
-            chunk_scores,
+            fn,
             (
                 grids.reshape(nc, pf.refine_chunk, *grids.shape[1:]),
                 priors.reshape(nc, pf.refine_chunk, 3),
@@ -264,7 +269,9 @@ def shared_refine(
         )
         raw = raw.reshape(P, G * R * C)
         anchor_xy = anchor_xy.reshape(P, 2)
-    elif not use_fused:
+    elif use_fused:
+        raw, anchor_xy = fused_scores(grids, priors)
+    else:
         raw, anchor_xy = chunk_scores((grids, priors))
     raw = raw.reshape(P, G, R, C)
 
