@@ -13,6 +13,7 @@ from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.pf.fastslam import PFState, fastslam_init, fastslam_step
 
 
+@functools.cache
 def make_pf_chunk_fn(cfg: FrontendConfig, pf: PFConfig):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk_fn(state: PFState, odom_chunk, ranges_chunk):

@@ -158,6 +158,7 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     )
 
 
+@functools.cache
 def make_chunk_fn(cfg: FrontendConfig):
     """Jitted (state, odom_chunk [K,3], ranges_chunk [K,B]) -> (state, traj, scores)."""
 

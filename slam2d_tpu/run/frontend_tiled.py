@@ -160,6 +160,7 @@ def tiled_frontend_step(
     )
 
 
+@functools.cache
 def make_tiled_chunk_fn(cfg: FrontendConfig, tcfg: TileConfig):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk_fn(state, odom_chunk, ranges_chunk):

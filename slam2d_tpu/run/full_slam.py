@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,7 @@ from slam2d_tpu.run.frontend_tiled import (
 )
 
 
+@functools.cache
 def _make_rebuild_chunk(cfg: FrontendConfig, gcfg):
     @jax.jit
     def rebuild_chunk(grid, poses, scans, mask):
@@ -190,6 +193,7 @@ def default_submap_grid(cfg: FrontendConfig) -> "GridConfig":
     )
 
 
+@functools.cache
 def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cfg=None):
     """Jitted wide-window match of a scan against a (sub)map.
 
@@ -213,6 +217,61 @@ def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cf
         return pose, score, margin
 
     return loop_match
+
+
+@functools.cache
+def make_loop_attempt_fns(cfg: FrontendConfig, loop_matcher: MatcherConfig,
+                          grid_cfg):
+    """Fused loop-closure attempt + cached-submap rescoring.
+
+    A loop attempt used to cost several tunnel round trips (submap
+    rebuild chunk, wide match, device_get) with max_nodes-padded
+    host->device buffers — 116 ms per REJECTED attempt, which halved
+    config-5 throughput on revisit-heavy logs
+    (scripts/bench_fullslam_parts.py). `attempt_full` re-raycasts the
+    small keyframe neighborhood AND runs the wide-window match + peak
+    diagnostic in ONE jitted call on tiny static buffers, returning the
+    submap and its blurred field as device residents so the host can
+    cache them; `attempt_cached` rescores a new scan against the cached
+    pair in a single dispatch (no rebuild, no blur)."""
+    gcfg = grid_cfg
+
+    @jax.jit
+    def attempt_full(poses, scans, mask, ranges, prior):
+        def body(g, inp):
+            p, r, m = inp
+            return (
+                integrate_scan(g, p, r, gcfg, cfg.sensor, enable=m),
+                None,
+            )
+
+        grid, _ = jax.lax.scan(
+            body, make_grid(gcfg), (poses, scans, mask.astype(jnp.float32))
+        )
+        S = build_search_space(grid, loop_matcher, gcfg.resolution)
+        pose, score = match_scan(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
+        )
+        margin = peak_uniqueness(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
+        )
+        return grid, S, pose, score, margin
+
+    @jax.jit
+    def attempt_cached(grid, S, ranges, prior):
+        pose, score = match_scan(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
+        )
+        margin = peak_uniqueness(
+            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
+            search_space=S,
+        )
+        return pose, score, margin
+
+    return attempt_full, attempt_cached
 
 
 class FullSLAMResult(NamedTuple):
@@ -259,6 +318,11 @@ def fullslam_ckpt_template(cfg: FrontendConfig, graph_cfg: GraphConfig):
         # run reproduces the single run's maps bit-exactly)
         "map_poses": np.zeros((Kmax, 3), np.float32),
         "map_pose_count": np.int32(0),
+        # anchor index of the host's submap cache (-1 = empty). The cached
+        # submap itself is a pure function of keyframe state, so only the
+        # anchor CHOICE must persist for a resumed run to replay the single
+        # run's loop attempts exactly; the resumed run rebuilds it lazily.
+        "loop_cache_anchor": np.int32(-1),
     }
 
 
@@ -349,8 +413,9 @@ def run_full_slam(
     # zero-centered grid — independent of world extent, so the same jitted
     # functions serve bounded and tiled/unbounded worlds
     submap_cfg = default_submap_grid(cfg)
-    rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
-    loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
+    attempt_full, attempt_cached = make_loop_attempt_fns(
+        cfg, loop_matcher, submap_cfg
+    )
 
     # host-side keyframe store (restored from `resume` when given)
     if resume is not None:
@@ -370,6 +435,10 @@ def run_full_slam(
         )
         if "map_poses" in resume:
             rebuild.restore(resume["map_poses"], resume["map_pose_count"])
+        init_cache_anchor = (
+            int(resume["loop_cache_anchor"])
+            if "loop_cache_anchor" in resume else -1
+        )
     else:
         state = frontend_init(cfg, start_pose=odom_np[0], start_odom=odom_np[0])
         graph = se2_graph.HostGraph(graph_cfg)
@@ -381,8 +450,16 @@ def run_full_slam(
         chi2 = 0.0
         init_cooldown = 0
         init_last_kf = None
+        init_cache_anchor = -1
     traj_out = np.zeros((T, 3), np.float32)
     attempt_records: list = []
+    # submap cache: anchor keyframe index + device-resident (grid, field).
+    # Valid until the next ACCEPTED loop (keyframe poses change) or until
+    # the robot leaves the anchor's loop radius. The anchor index rides in
+    # the checkpoint; the arrays are rebuilt lazily (pure function of
+    # keyframe state), so resumed runs replay identical attempts.
+    cache_anchor = init_cache_anchor
+    cache_gs = None
 
     def admit_keyframe(pose, scan_i):
         # pure-host admission: an eager device graph update here costs
@@ -409,34 +486,57 @@ def run_full_slam(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal n_loops, chi2, state
-        i = find_loop(k_new)
+        nonlocal n_loops, chi2, state, cache_anchor, cache_gs
+        # prefer the cached anchor while the new keyframe stays inside its
+        # loop radius (and keeps the index gap): consecutive attempts along
+        # a revisited stretch then skip the submap rebuild entirely
+        i = None
+        if cache_anchor >= 0 and k_new - cache_anchor >= graph_cfg.loop_min_gap:
+            a = kf_poses[cache_anchor]
+            p = kf_poses[k_new]
+            if np.hypot(a[0] - p[0], a[1] - p[1]) <= graph_cfg.loop_radius:
+                i = cache_anchor
+        if i is None:
+            i = find_loop(k_new)
+            cache_anchor = i if i is not None else -1
+            cache_gs = None
         if i is None:
             return False
-        # submap from keyframe i's neighborhood, built in KEYFRAME i's
-        # frame (poses relative to i, grid centered at 0): the matched pose
-        # of the current scan in that frame IS the loop measurement z_ij
-        lo = max(0, i - submap_halfwidth)
-        hi = min(len(kf_poses), i + submap_halfwidth + 1)
-        Kmax = graph_cfg.max_nodes
         anchor = kf_poses[i]
-        rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
-        poses_buf = np.zeros((Kmax, 3), np.float32)
-        scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
-        mask_buf = np.zeros(Kmax, np.float32)
-        nsub = hi - lo
-        poses_buf[:nsub] = rel
-        scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
-        mask_buf[:nsub] = 1.0
-        submap = rebuild_submap(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
-            jnp.asarray(mask_buf), n_active=nsub,
-        )
         prior = kf_poses[k_new]
         prior_rel = _np_between(anchor, prior)
-        matched_rel, score, margin = jax.device_get(loop_match(
-            submap, jnp.asarray(ranges_np[scan_i]), jnp.asarray(prior_rel)
-        ))
+        if cache_gs is None:
+            # submap from keyframe i's neighborhood, built in KEYFRAME i's
+            # frame (poses relative to i, grid centered at 0): the matched
+            # pose of the current scan in that frame IS the measurement
+            # z_ij. Buffers are the small submap capacity, not max_nodes —
+            # the padded transfers and wasted scan steps dominated the
+            # attempt cost (see make_loop_attempt_fns).
+            lo = max(0, i - submap_halfwidth)
+            hi = min(len(kf_poses), i + submap_halfwidth + 1)
+            cap = 2 * submap_halfwidth + 2
+            rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
+            poses_buf = np.zeros((cap, 3), np.float32)
+            scans_buf = np.zeros((cap, ranges_np.shape[1]), np.float32)
+            mask_buf = np.zeros(cap, np.float32)
+            nsub = hi - lo
+            poses_buf[:nsub] = rel
+            scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
+            mask_buf[:nsub] = 1.0
+            g_d, S_d, pose_d, score_d, margin_d = attempt_full(
+                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+                jnp.asarray(mask_buf), jnp.asarray(ranges_np[scan_i]),
+                jnp.asarray(prior_rel),
+            )
+            cache_gs = (g_d, S_d)
+            matched_rel, score, margin = jax.device_get(
+                (pose_d, score_d, margin_d)
+            )
+        else:
+            matched_rel, score, margin = jax.device_get(attempt_cached(
+                cache_gs[0], cache_gs[1], jnp.asarray(ranges_np[scan_i]),
+                jnp.asarray(prior_rel),
+            ))
         # correction implied on the current estimate (the plausibility gate)
         corr = _np_between(prior_rel, matched_rel)
         attempt = [float(i), float(k_new), float(score), float(margin),
@@ -477,6 +577,9 @@ def run_full_slam(
         graph.set_poses(corrected)
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
+        # keyframe poses changed: the cached submap is stale
+        cache_anchor = -1
+        cache_gs = None
         # retro-correct the emitted per-scan trajectory: scans between
         # keyframe k and k+1 move rigidly with keyframe k's correction
         _retro_correct_traj(
@@ -487,6 +590,7 @@ def run_full_slam(
         delta = _np_between(prior, np.asarray(state.pose))
         new_pose = jnp.asarray(_np_compose(kf_poses[-1], delta))
         # rebuild the global map from all (corrected) keyframes
+        Kmax = graph_cfg.max_nodes
         poses_buf = np.zeros((Kmax, 3), np.float32)
         scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
         mask_buf2 = np.zeros(Kmax, np.float32)
@@ -563,6 +667,7 @@ def run_full_slam(
     ckpt["n_loops"] = np.int32(n_loops)
     ckpt["chi2"] = np.float32(chi2)
     ckpt["cooldown"] = np.int32(cooldown)
+    ckpt["loop_cache_anchor"] = np.int32(cache_anchor)
     ckpt["map_poses"] = rebuild.map_poses.copy()
     ckpt["map_pose_count"] = np.int32(rebuild.n_prev)
 

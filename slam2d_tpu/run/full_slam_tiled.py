@@ -9,6 +9,8 @@ they never depend on world extent)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,12 +42,12 @@ from slam2d_tpu.run.full_slam import (
     _retro_correct_traj,
     default_loop_matcher,
     default_submap_grid,
-    make_loop_match_fn,
-    make_rebuild_fn,
+    make_loop_attempt_fns,
 )
 from slam2d_tpu.grid.tiles import gather_region, scatter_region, world_to_cell_global
 
 
+@functools.cache
 def _make_tiled_rebuild_chunk(cfg: FrontendConfig, tcfg: TileConfig):
     win = tiled_window_cells(tcfg, cfg.sensor, cfg.matcher)
     halo = blur_halo_cells(cfg.matcher, tcfg.resolution)
@@ -200,6 +202,8 @@ def fullslam_tiled_ckpt_template(
         "cooldown": np.int32(0),
         "map_poses": np.zeros((Kmax, 3), np.float32),
         "map_pose_count": np.int32(0),
+        # submap-cache anchor — see full_slam.fullslam_ckpt_template
+        "loop_cache_anchor": np.int32(-1),
     }
 
 
@@ -232,8 +236,9 @@ def run_full_slam_tiled(
 
     chunk_fn = make_tiled_chunk_fn(cfg, tcfg)
     submap_cfg = default_submap_grid(cfg)
-    rebuild_submap = make_rebuild_fn(cfg, graph_cfg.max_nodes, submap_cfg)
-    loop_match = make_loop_match_fn(cfg, loop_matcher, submap_cfg)
+    attempt_full, attempt_cached = make_loop_attempt_fns(
+        cfg, loop_matcher, submap_cfg
+    )
     rebuild_tiles = IncrementalTiledRebuilder(
         cfg, tcfg, graph_cfg.max_nodes,
         # eps 0 = nothing snaps, every rebuild replays from scratch (the
@@ -269,6 +274,10 @@ def run_full_slam_tiled(
         init_last_kf = np.asarray(resume["last_kf_pose"]) if kc > 0 else None
         if "map_poses" in resume:
             rebuild_tiles.restore(resume["map_poses"], resume["map_pose_count"])
+        init_cache_anchor = (
+            int(resume["loop_cache_anchor"])
+            if "loop_cache_anchor" in resume else -1
+        )
     else:
         state = tiled_frontend_init(
             tcfg, start_pose=odom_np[0], start_odom=odom_np[0]
@@ -282,8 +291,13 @@ def run_full_slam_tiled(
         chi2 = 0.0
         init_cooldown = 0
         init_last_kf = None
+        init_cache_anchor = -1
     traj_out = np.zeros((T, 3), np.float32)
     attempt_records: list = []
+    # submap cache (anchor index + device-resident grid/field) — see
+    # run_full_slam; the anchor index rides in the checkpoint
+    cache_anchor = init_cache_anchor
+    cache_gs = None
 
     def admit_keyframe(pose, scan_i):
         # pure-host admission: an eager device graph update here costs
@@ -308,31 +322,50 @@ def run_full_slam_tiled(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal n_loops, chi2, state
-        i = find_loop(k_new)
+        nonlocal n_loops, chi2, state, cache_anchor, cache_gs
+        # prefer the cached anchor while the new keyframe stays inside its
+        # loop radius and keeps the index gap (see run_full_slam)
+        i = None
+        if cache_anchor >= 0 and k_new - cache_anchor >= graph_cfg.loop_min_gap:
+            a = kf_poses[cache_anchor]
+            p = kf_poses[k_new]
+            if np.hypot(a[0] - p[0], a[1] - p[1]) <= graph_cfg.loop_radius:
+                i = cache_anchor
+        if i is None:
+            i = find_loop(k_new)
+            cache_anchor = i if i is not None else -1
+            cache_gs = None
         if i is None:
             return False
-        lo = max(0, i - submap_halfwidth)
-        hi = min(len(kf_poses), i + submap_halfwidth + 1)
-        Kmax = graph_cfg.max_nodes
         anchor = kf_poses[i]
-        rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
-        poses_buf = np.zeros((Kmax, 3), np.float32)
-        scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
-        mask_buf = np.zeros(Kmax, np.float32)
-        nsub = hi - lo
-        poses_buf[:nsub] = rel
-        scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
-        mask_buf[:nsub] = 1.0
-        submap = rebuild_submap(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
-            jnp.asarray(mask_buf), n_active=nsub,
-        )
         prior = kf_poses[k_new]
         prior_rel = _np_between(anchor, prior)
-        matched_rel, score, margin = jax.device_get(loop_match(
-            submap, jnp.asarray(ranges_np[scan_i]), jnp.asarray(prior_rel)
-        ))
+        if cache_gs is None:
+            lo = max(0, i - submap_halfwidth)
+            hi = min(len(kf_poses), i + submap_halfwidth + 1)
+            cap = 2 * submap_halfwidth + 2
+            rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
+            poses_buf = np.zeros((cap, 3), np.float32)
+            scans_buf = np.zeros((cap, ranges_np.shape[1]), np.float32)
+            mask_buf = np.zeros(cap, np.float32)
+            nsub = hi - lo
+            poses_buf[:nsub] = rel
+            scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
+            mask_buf[:nsub] = 1.0
+            g_d, S_d, pose_d, score_d, margin_d = attempt_full(
+                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+                jnp.asarray(mask_buf), jnp.asarray(ranges_np[scan_i]),
+                jnp.asarray(prior_rel),
+            )
+            cache_gs = (g_d, S_d)
+            matched_rel, score, margin = jax.device_get(
+                (pose_d, score_d, margin_d)
+            )
+        else:
+            matched_rel, score, margin = jax.device_get(attempt_cached(
+                cache_gs[0], cache_gs[1], jnp.asarray(ranges_np[scan_i]),
+                jnp.asarray(prior_rel),
+            ))
         corr = _np_between(prior_rel, matched_rel)
         attempt = [float(i), float(k_new), float(score), float(margin),
                    float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
@@ -371,6 +404,9 @@ def run_full_slam_tiled(
         graph.set_poses(corrected)
         for k in range(len(kf_poses)):
             kf_poses[k] = corrected[k]
+        # keyframe poses changed: the cached submap is stale
+        cache_anchor = -1
+        cache_gs = None
         _retro_correct_traj(
             traj_out, kf_scan_idx, old_kf, corrected, scan_i,
             offset=scan_index_offset,
@@ -382,6 +418,7 @@ def run_full_slam_tiled(
         need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
         grid = table.activate(state.grid, need)
         nk = len(kf_poses)
+        Kmax = graph_cfg.max_nodes
         poses_buf2 = np.zeros((Kmax, 3), np.float32)
         scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
         mask_buf2 = np.zeros(Kmax, np.float32)
@@ -463,6 +500,7 @@ def run_full_slam_tiled(
     ckpt["n_loops"] = np.int32(n_loops)
     ckpt["chi2"] = np.float32(chi2)
     ckpt["cooldown"] = np.int32(cooldown)
+    ckpt["loop_cache_anchor"] = np.int32(cache_anchor)
     ckpt["map_poses"] = rebuild_tiles.map_poses.copy()
     ckpt["map_pose_count"] = np.int32(rebuild_tiles.n_prev)
 
