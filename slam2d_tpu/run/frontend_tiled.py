@@ -198,6 +198,12 @@ def run_tiled_frontend(
     )
 
     trajs, scores = [], []
+    # carried host copies of (pose, prev_odom) — see run_full_slam_tiled:
+    # the forecast re-fetched both from the device every chunk; the pose
+    # now piggybacks on the trajectory fetch and prev_odom is the last
+    # odometry record the host fed in
+    est = np.asarray(state.pose)
+    base = np.asarray(state.prev_odom)
     for s in range(0, T, K):
         o = odom[s : s + K]
         r = ranges[s : s + K]
@@ -207,8 +213,6 @@ def run_tiled_frontend(
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
 
         # forecast: current estimate composed with the chunk's odom deltas
-        est = np.asarray(state.pose)
-        base = np.asarray(state.prev_odom)
         fx = []
         for t in range(len(o)):
             d = _np_between(base, o[t])
@@ -220,8 +224,10 @@ def run_tiled_frontend(
         state = state._replace(grid=grid, sgrid=sgrid)
 
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        trajs.append(np.asarray(tr))
-        scores.append(np.asarray(sc))
+        tr, sc, est = jax.device_get((tr, sc, state.pose))
+        base = o[-1]
+        trajs.append(tr)
+        scores.append(sc)
 
     return state, np.concatenate(trajs)[:T], np.concatenate(scores)[:T]
 

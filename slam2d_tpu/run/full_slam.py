@@ -486,7 +486,7 @@ def run_full_slam(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal n_loops, chi2, state, cache_anchor, cache_gs
+        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
         # prefer the cached anchor while the new keyframe stays inside its
         # loop radius (and keeps the index gap): consecutive attempts along
         # a revisited stretch then skip the submap rebuild entirely
@@ -587,8 +587,9 @@ def run_full_slam(
             offset=scan_index_offset,
         )
         # patch the live frontend: pose rides with the last keyframe
-        delta = _np_between(prior, np.asarray(state.pose))
-        new_pose = jnp.asarray(_np_compose(kf_poses[-1], delta))
+        delta = _np_between(prior, est)
+        est = np.asarray(_np_compose(kf_poses[-1], delta), np.float32)
+        new_pose = jnp.asarray(est)
         # rebuild the global map from all (corrected) keyframes
         Kmax = graph_cfg.max_nodes
         poses_buf = np.zeros((Kmax, 3), np.float32)
@@ -615,6 +616,10 @@ def run_full_slam(
     # ---- main host loop over chunks ---------------------------------------
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
+    # carried host copy of the frontend pose: the accept path used to
+    # re-fetch it per loop (a tunnel round trip); it now piggybacks on
+    # each chunk's trajectory fetch (same RPC)
+    est = np.asarray(state.pose)
     for s0 in range(0, T, K):
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
@@ -623,7 +628,7 @@ def run_full_slam(
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        tr = np.asarray(tr)
+        tr, est = jax.device_get((tr, state.pose))
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
 

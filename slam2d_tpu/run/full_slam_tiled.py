@@ -322,7 +322,7 @@ def run_full_slam_tiled(
         return i if d[i] <= graph_cfg.loop_radius else None
 
     def try_close_loop(k_new: int, scan_i: int):
-        nonlocal n_loops, chi2, state, cache_anchor, cache_gs
+        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
         # prefer the cached anchor while the new keyframe stays inside its
         # loop radius and keeps the index gap (see run_full_slam)
         i = None
@@ -411,8 +411,9 @@ def run_full_slam_tiled(
             traj_out, kf_scan_idx, old_kf, corrected, scan_i,
             offset=scan_index_offset,
         )
-        delta = _np_between(prior, np.asarray(state.pose))
-        new_pose = jnp.asarray(_np_compose(kf_poses[-1], delta))
+        delta = _np_between(prior, est)
+        est = np.asarray(_np_compose(kf_poses[-1], delta), np.float32)
+        new_pose = jnp.asarray(est)
 
         # activate tiles for corrected keyframes, rebuild both tile sets
         need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
@@ -439,6 +440,13 @@ def run_full_slam_tiled(
 
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
+    # carried host copies of (pose, prev_odom): the per-chunk forecast and
+    # the accept path used to re-fetch them from the device every chunk —
+    # each np.asarray is a full tunnel round trip. After a chunk, the pose
+    # piggybacks on the trajectory fetch (same RPC) and prev_odom is just
+    # the last odometry record the host itself fed in.
+    est = np.asarray(state.pose)
+    base = np.asarray(state.prev_odom)
     for s0 in range(0, T, K):
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
@@ -447,9 +455,7 @@ def run_full_slam_tiled(
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
 
-        # tile activation forecast for this chunk
-        est = np.asarray(state.pose)
-        base = np.asarray(state.prev_odom)
+        # tile activation forecast for this chunk (carried est/base)
         fx = [
             _np_compose(est, _np_between(base, o[t]))[:2] for t in range(len(o))
         ]
@@ -459,7 +465,8 @@ def run_full_slam_tiled(
         state = state._replace(grid=grid, sgrid=sgrid)
 
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        tr = np.asarray(tr)
+        tr, est = jax.device_get((tr, state.pose))
+        base = o[-1]
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
 
