@@ -321,8 +321,11 @@ def run_full_slam_tiled(
         i = int(np.argmin(d))
         return i if d[i] <= graph_cfg.loop_radius else None
 
-    def try_close_loop(k_new: int, scan_i: int):
-        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
+    def issue_attempt(k_new: int, scan_i: int):
+        # dispatch WITHOUT waiting; resolve_pending() drains all attempt
+        # verdicts in one device_get at the next chunk boundary — see
+        # run_full_slam.issue_attempt
+        nonlocal cache_anchor, cache_gs
         # prefer the cached anchor while the new keyframe stays inside its
         # loop radius and keeps the index gap (see run_full_slam)
         i = None
@@ -336,7 +339,7 @@ def run_full_slam_tiled(
             cache_anchor = i if i is not None else -1
             cache_gs = None
         if i is None:
-            return False
+            return
         anchor = kf_poses[i]
         prior = kf_poses[k_new]
         prior_rel = _np_between(anchor, prior)
@@ -358,31 +361,71 @@ def run_full_slam_tiled(
                 jnp.asarray(prior_rel),
             )
             cache_gs = (g_d, S_d)
-            matched_rel, score, margin = jax.device_get(
-                (pose_d, score_d, margin_d)
-            )
         else:
-            matched_rel, score, margin = jax.device_get(attempt_cached(
+            pose_d, score_d, margin_d = attempt_cached(
                 cache_gs[0], cache_gs[1], jnp.asarray(ranges_np[scan_i]),
                 jnp.asarray(prior_rel),
-            ))
-        corr = _np_between(prior_rel, matched_rel)
-        attempt = [float(i), float(k_new), float(score), float(margin),
-                   float(np.hypot(corr[0], corr[1])), float(abs(corr[2])), 0.0]
-        attempt_records.append(attempt)
-        if float(score) < graph_cfg.loop_score_accept:
-            return False
-        if float(margin) < graph_cfg.loop_min_peak_margin:
-            return False
-        if (
-            np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
-            or abs(corr[2]) > graph_cfg.loop_max_correction_theta
-        ):
-            return False
-        attempt[6] = 1.0
-        z = np.asarray(matched_rel)
+            )
+        pending.append({
+            "i": i, "k_new": k_new, "scan_i": scan_i,
+            "prior_rel": np.asarray(prior_rel),
+            "outs": (pose_d, score_d, margin_d),
+        })
+
+    def resolve_pending():
+        # drain in one device_get; first accept wins, later in-flight
+        # attempts drop (see run_full_slam.resolve_pending)
+        nonlocal cooldown
+        if not pending:
+            return
+        outs = jax.device_get([a["outs"] for a in pending])
+        batch = [(a, o) for a, o in zip(list(pending), outs)]
+        pending.clear()
+        accepted_k = None
+        reissue = []
+        for a, (matched_rel, score, margin) in batch:
+            if accepted_k is not None:
+                # in-flight attempts after an accept predate the
+                # correction. Keyframes inside the accept's cooldown
+                # horizon are dropped (the synchronous formulation's
+                # cooldown blocked them); later ones are RE-ISSUED against
+                # the corrected state — they would have been attempted.
+                if a["k_new"] - accepted_k > graph_cfg.loop_cooldown:
+                    reissue.append(a)
+                continue
+            corr = _np_between(a["prior_rel"], matched_rel)
+            attempt = [float(a["i"]), float(a["k_new"]), float(score),
+                       float(margin), float(np.hypot(corr[0], corr[1])),
+                       float(abs(corr[2])), 0.0]
+            attempt_records.append(attempt)
+            if float(score) < graph_cfg.loop_score_accept:
+                continue
+            if float(margin) < graph_cfg.loop_min_peak_margin:
+                continue
+            if (
+                np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
+                or abs(corr[2]) > graph_cfg.loop_max_correction_theta
+            ):
+                continue
+            attempt[6] = 1.0
+            _accept_loop(
+                a["i"], a["k_new"], a["scan_i"],
+                np.asarray(matched_rel, np.float32), float(score),
+            )
+            accepted_k = a["k_new"]
+            # sync-equivalent cooldown: keyframes admitted since the
+            # accepted one already consumed part of it
+            cooldown = max(
+                0,
+                graph_cfg.loop_cooldown - (len(kf_poses) - 1 - a["k_new"]),
+            )
+        for a in reissue:
+            issue_attempt(a["k_new"], a["scan_i"])
+
+    def _accept_loop(i, k_new, scan_i, z, score):
+        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
         graph.add_edge(i, k_new, z, np.eye(3) * loop_edge_info)
-        loop_records.append((i, k_new, float(score), z[0], z[1], z[2]))
+        loop_records.append((i, k_new, score, z[0], z[1], z[2]))
         n_loops += 1
 
         dev_graph = graph.to_device()
@@ -411,7 +454,12 @@ def run_full_slam_tiled(
             traj_out, kf_scan_idx, old_kf, corrected, scan_i,
             offset=scan_index_offset,
         )
-        delta = _np_between(prior, est)
+        # patch the live frontend pose: transport the motion since the
+        # LAST keyframe (in its pre-correction frame) onto its corrected
+        # pose. NOT the accepted keyframe k_new — by resolution time later
+        # keyframes exist, and composing a k_new-relative delta onto
+        # kf_poses[-1] would teleport the pose by their separation.
+        delta = _np_between(old_kf[-1], est)
         est = np.asarray(_np_compose(kf_poses[-1], delta), np.float32)
         new_pose = jnp.asarray(est)
 
@@ -436,8 +484,8 @@ def run_full_slam_tiled(
             pose=new_pose,
             last_map_pose=new_pose + 0.0,
         )
-        return True
 
+    pending: list = []
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
     # carried host copies of (pose, prev_odom): the per-chunk forecast and
@@ -448,6 +496,9 @@ def run_full_slam_tiled(
     est = np.asarray(state.pose)
     base = np.asarray(state.prev_odom)
     for s0 in range(0, T, K):
+        # drain last chunk's in-flight attempts FIRST: an accept patches
+        # the frontend state, which must land before this chunk's compute
+        resolve_pending()
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
         if len(o) < K:
@@ -486,9 +537,10 @@ def run_full_slam_tiled(
                 k_new = admit_keyframe(pose, scan_i)
                 if cooldown > 0:
                     cooldown -= 1
-                elif try_close_loop(k_new, scan_i):
-                    cooldown = graph_cfg.loop_cooldown
+                else:
+                    issue_attempt(k_new, scan_i)
 
+    resolve_pending()   # drain: checkpoint state must be fully settled
     ckpt = fullslam_tiled_ckpt_template(cfg, tcfg, graph_cfg)
     ckpt["frontend"] = state
     ckpt["graph"] = graph.to_device()
