@@ -173,7 +173,9 @@ class IncrementalRebuilder:
                 grid, poses_j[s : s + self.chunk], scans[s : s + self.chunk],
                 mask[s : s + self.chunk],
             )
-            if s + self.chunk <= k0:
+            # never cache the grid that will be RETURNED: it becomes the
+            # frontend state and the next chunk_fn donates its buffer
+            if s + self.chunk <= k0 and s + self.chunk < n_end:
                 self.cache_grid, self.cache_k = grid, s + self.chunk
         self.map_poses[:n] = poses[:n]
         self.n_prev = n
@@ -191,32 +193,6 @@ def default_submap_grid(cfg: FrontendConfig) -> "GridConfig":
     return dataclasses.replace(
         cfg.grid, height=size, width=size, center_x=0.0, center_y=0.0
     )
-
-
-@functools.cache
-def make_loop_match_fn(cfg: FrontendConfig, loop_matcher: MatcherConfig, grid_cfg=None):
-    """Jitted wide-window match of a scan against a (sub)map.
-
-    Returns (pose, score, peak_margin): the margin is the coarse-surface
-    peak-dominance diagnostic (see match/correlative.peak_uniqueness)."""
-    gcfg = grid_cfg or cfg.grid
-
-    @jax.jit
-    def loop_match(grid, ranges, prior):
-        # build the blurred field ONCE and share it between the match and
-        # the peak-uniqueness diagnostic (it is the expensive stage)
-        S = build_search_space(grid, loop_matcher, gcfg.resolution)
-        pose, score = match_scan(
-            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
-            search_space=S,
-        )
-        margin = peak_uniqueness(
-            grid, ranges, prior, gcfg, loop_matcher, cfg.sensor,
-            search_space=S,
-        )
-        return pose, score, margin
-
-    return loop_match
 
 
 @functools.cache
@@ -371,6 +347,241 @@ def _retro_correct_traj(
         traj_out[lo:hi, 2] = (c[2] + bth + np.pi) % (2 * np.pi) - np.pi
 
 
+
+class LoopCloser:
+    """Shared loop-closure machinery for the full-SLAM drivers (bounded
+    AND tiled): spatial anchor selection with a cached submap, fused
+    attempt dispatch, batched ASYNC verdict resolution, acceptance gates,
+    graph optimization, trajectory retro-correction, and frontend-pose
+    transport. The driver supplies only `apply_correction(new_pose_np)`
+    — the map rebuild + frontend-state patch, the one part that differs
+    between the bounded and tiled pipelines.
+
+    Attempts only ENQUEUE device work (`issue`): the match verdict is
+    three scalars, and fetching them per attempt costs one tunnel round
+    trip (~25 ms — the whole steady-state attempt cost). `resolve` drains
+    every in-flight verdict in ONE device_get at the top of the next
+    chunk iteration — the same inter-chunk point where a synchronous
+    accept would have taken effect (state patches always land between
+    chunks).
+
+    Host-side accounting lives on the instance (n_loops, chi2,
+    loop_records, attempt_records, cache_anchor, pending) so the driver
+    reads it back when assembling the checkpoint. kf_poses / kf_scans /
+    kf_scan_idx are the driver's LIVE lists, mutated in place on
+    accepts."""
+
+    def __init__(self, cfg, graph_cfg, loop_matcher, submap_cfg,
+                 submap_halfwidth, graph, kf_poses, kf_scans, kf_scan_idx,
+                 ranges_np, traj_out, optimizer, loop_edge_info,
+                 scan_index_offset, apply_correction, loop_records,
+                 n_loops=0, chi2=0.0, cache_anchor=-1):
+        self.cfg = cfg
+        self.gcfg = graph_cfg
+        self.hw = submap_halfwidth
+        self.graph = graph
+        self.kf_poses = kf_poses
+        self.kf_scans = kf_scans
+        self.kf_scan_idx = kf_scan_idx
+        self.ranges_np = ranges_np
+        self.traj_out = traj_out
+        self.optimizer = optimizer
+        self.loop_edge_info = loop_edge_info
+        self.scan_index_offset = scan_index_offset
+        self.apply_correction = apply_correction
+        self.loop_records = loop_records
+        self.attempt_records: list = []
+        self.n_loops = n_loops
+        self.chi2 = chi2
+        # submap cache: anchor keyframe index + device-resident
+        # (grid, blurred field). Valid until the next ACCEPTED loop
+        # (keyframe poses change) or until the robot leaves the anchor's
+        # loop radius. The anchor index rides in the checkpoint
+        # ("loop_cache_anchor"); the arrays are rebuilt lazily (a pure
+        # function of keyframe state), so resumed runs replay identical
+        # attempts.
+        self.cache_anchor = cache_anchor
+        self.cache_gs = None
+        self.pending: list = []
+        self.attempt_full, self.attempt_cached = make_loop_attempt_fns(
+            cfg, loop_matcher, submap_cfg
+        )
+
+    def find_loop(self, k_new: int):
+        """Spatial gate: nearest old keyframe within loop_radius, index
+        gap >= loop_min_gap. Returns candidate index or None."""
+        if k_new < self.gcfg.loop_min_gap:
+            return None
+        p = self.kf_poses[k_new]
+        old = np.stack(self.kf_poses[: k_new - self.gcfg.loop_min_gap + 1])
+        d = np.hypot(old[:, 0] - p[0], old[:, 1] - p[1])
+        i = int(np.argmin(d))
+        return i if d[i] <= self.gcfg.loop_radius else None
+
+    def issue(self, k_new: int, scan_i: int):
+        """Dispatch a loop-closure attempt WITHOUT waiting for its result.
+
+        Prefers the cached anchor while the new keyframe stays inside its
+        loop radius (and keeps the index gap): consecutive attempts along
+        a revisited stretch then skip the submap rebuild entirely."""
+        i = None
+        if (
+            self.cache_anchor >= 0
+            and k_new - self.cache_anchor >= self.gcfg.loop_min_gap
+        ):
+            a = self.kf_poses[self.cache_anchor]
+            p = self.kf_poses[k_new]
+            if np.hypot(a[0] - p[0], a[1] - p[1]) <= self.gcfg.loop_radius:
+                i = self.cache_anchor
+        if i is None:
+            i = self.find_loop(k_new)
+            self.cache_anchor = i if i is not None else -1
+            self.cache_gs = None
+        if i is None:
+            return
+        anchor = self.kf_poses[i]
+        prior_rel = _np_between(anchor, self.kf_poses[k_new])
+        if self.cache_gs is None:
+            # submap from keyframe i's neighborhood, built in KEYFRAME
+            # i's frame (poses relative to i, grid centered at 0): the
+            # matched pose of the current scan in that frame IS the
+            # measurement z_ij. Buffers are the small submap capacity,
+            # not max_nodes — padded transfers and wasted scan steps
+            # dominated the attempt cost (see make_loop_attempt_fns).
+            lo = max(0, i - self.hw)
+            hi = min(len(self.kf_poses), i + self.hw + 1)
+            cap = 2 * self.hw + 2
+            rel = _np_between_batch(anchor, np.stack(self.kf_poses[lo:hi]))
+            poses_buf = np.zeros((cap, 3), np.float32)
+            scans_buf = np.zeros((cap, self.ranges_np.shape[1]), np.float32)
+            mask_buf = np.zeros(cap, np.float32)
+            nsub = hi - lo
+            poses_buf[:nsub] = rel
+            scans_buf[:nsub] = np.stack(self.kf_scans[lo:hi])
+            mask_buf[:nsub] = 1.0
+            g_d, S_d, pose_d, score_d, margin_d = self.attempt_full(
+                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+                jnp.asarray(mask_buf), jnp.asarray(self.ranges_np[scan_i]),
+                jnp.asarray(prior_rel),
+            )
+            self.cache_gs = (g_d, S_d)
+        else:
+            pose_d, score_d, margin_d = self.attempt_cached(
+                self.cache_gs[0], self.cache_gs[1],
+                jnp.asarray(self.ranges_np[scan_i]), jnp.asarray(prior_rel),
+            )
+        self.pending.append({
+            "i": i, "k_new": k_new, "scan_i": scan_i,
+            "prior_rel": np.asarray(prior_rel),
+            "outs": (pose_d, score_d, margin_d),
+        })
+
+    def resolve(self, est, emitted_upto):
+        """Drain every in-flight attempt in ONE device_get and apply the
+        gates; the first accept wins, later in-flight attempts inside its
+        cooldown horizon drop (the synchronous formulation's cooldown
+        would have blocked them) and ones beyond it are re-issued against
+        the corrected state.
+
+        Returns (cooldown | None, est, last_kf_pose | None): the driver
+        adopts a non-None cooldown / admission reference, and always the
+        returned est (unchanged when nothing was accepted)."""
+        if not self.pending:
+            return None, est, None
+        outs = jax.device_get([a["outs"] for a in self.pending])
+        batch = [(a, o) for a, o in zip(list(self.pending), outs)]
+        self.pending.clear()
+        accepted_k = None
+        new_cooldown = None
+        new_last_kf = None
+        reissue = []
+        for a, (matched_rel, score, margin) in batch:
+            if accepted_k is not None:
+                if a["k_new"] - accepted_k > self.gcfg.loop_cooldown:
+                    reissue.append(a)
+                continue
+            # correction implied on the estimate (the plausibility gate)
+            corr = _np_between(a["prior_rel"], matched_rel)
+            attempt = [float(a["i"]), float(a["k_new"]), float(score),
+                       float(margin), float(np.hypot(corr[0], corr[1])),
+                       float(abs(corr[2])), 0.0]
+            self.attempt_records.append(attempt)
+            if float(score) < self.gcfg.loop_score_accept:
+                continue
+            if float(margin) < self.gcfg.loop_min_peak_margin:
+                continue
+            if (
+                np.hypot(corr[0], corr[1]) > self.gcfg.loop_max_correction_xy
+                or abs(corr[2]) > self.gcfg.loop_max_correction_theta
+            ):
+                continue
+            attempt[6] = 1.0
+            est, new_last_kf = self._accept(
+                a["i"], a["k_new"],
+                np.asarray(matched_rel, np.float32), float(score),
+                est, emitted_upto,
+            )
+            accepted_k = a["k_new"]
+            # sync-equivalent cooldown: keyframes admitted since the
+            # accepted one already consumed part of it
+            new_cooldown = max(
+                0,
+                self.gcfg.loop_cooldown
+                - (len(self.kf_poses) - 1 - a["k_new"]),
+            )
+        for a in reissue:
+            self.issue(a["k_new"], a["scan_i"])
+        return new_cooldown, est, new_last_kf
+
+    def _accept(self, i, k_new, z, score, est, emitted_upto):
+        gcfg = self.gcfg
+        self.graph.add_edge(i, k_new, z, np.eye(3) * self.loop_edge_info)
+        self.loop_records.append((i, k_new, score, z[0], z[1], z[2]))
+        self.n_loops += 1
+
+        # optimize + apply corrections (ONE host->device graph transfer)
+        dev_graph = self.graph.to_device()
+        if self.optimizer == "schur":
+            from slam2d_tpu.graph.schur import optimize_schur
+
+            dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
+        elif self.optimizer == "schur_sharded":
+            from slam2d_tpu.graph.schur import optimize_schur_sharded
+            from slam2d_tpu.parallel.mesh import make_particle_mesh
+
+            mesh = make_particle_mesh()
+            dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
+        else:
+            dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
+        self.chi2 = float(chi)
+        old_kf = np.stack(self.kf_poses)
+        corrected = np.asarray(dev_graph.poses[: len(self.kf_poses)])
+        self.graph.set_poses(corrected)
+        for k in range(len(self.kf_poses)):
+            self.kf_poses[k] = corrected[k]
+        # keyframe poses changed: the cached submap is stale
+        self.cache_anchor = -1
+        self.cache_gs = None
+        # correct every emitted row: scans between keyframe k and k+1
+        # move rigidly with keyframe k (including rows written after the
+        # attempt's scan — an async accept resolves >= one chunk later)
+        _retro_correct_traj(
+            self.traj_out, self.kf_scan_idx, old_kf, corrected,
+            emitted_upto, offset=self.scan_index_offset,
+        )
+        # patch the live frontend pose: transport the motion since the
+        # LAST keyframe (in its pre-correction frame) onto its corrected
+        # pose. NOT the accepted keyframe k_new — by resolution time later
+        # keyframes exist, and composing a k_new-relative delta onto
+        # kf_poses[-1] would teleport the pose by their separation.
+        delta = _np_between(old_kf[-1], est)
+        est = np.asarray(_np_compose(self.kf_poses[-1], delta), np.float32)
+        # driver-specific tail: map rebuild + frontend-state patch; the
+        # admission-gate reference rides with the same correction
+        self.apply_correction(est)
+        return est, self.kf_poses[-1].copy()
+
+
 def run_full_slam(
     log: dict,
     cfg: FrontendConfig,
@@ -452,14 +663,6 @@ def run_full_slam(
         init_last_kf = None
         init_cache_anchor = -1
     traj_out = np.zeros((T, 3), np.float32)
-    attempt_records: list = []
-    # submap cache: anchor keyframe index + device-resident (grid, field).
-    # Valid until the next ACCEPTED loop (keyframe poses change) or until
-    # the robot leaves the anchor's loop radius. The anchor index rides in
-    # the checkpoint; the arrays are rebuilt lazily (pure function of
-    # keyframe state), so resumed runs replay identical attempts.
-    cache_anchor = init_cache_anchor
-    cache_gs = None
 
     def admit_keyframe(pose, scan_i):
         # pure-host admission: an eager device graph update here costs
@@ -474,190 +677,22 @@ def run_full_slam(
             graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
-    def find_loop(k_new: int):
-        """Spatial gate: nearest old keyframe within loop_radius, index gap
-        >= loop_min_gap. Returns candidate index or None."""
-        if k_new < graph_cfg.loop_min_gap:
-            return None
-        p = kf_poses[k_new]
-        old = np.stack(kf_poses[: k_new - graph_cfg.loop_min_gap + 1])
-        d = np.hypot(old[:, 0] - p[0], old[:, 1] - p[1])
-        i = int(np.argmin(d))
-        return i if d[i] <= graph_cfg.loop_radius else None
-
-    def issue_attempt(k_new: int, scan_i: int):
-        """Dispatch a loop-closure attempt WITHOUT waiting for its result.
-
-        The match verdict is three scalars; fetching them per attempt costs
-        one tunnel round trip (~25 ms — the whole steady-state attempt
-        cost). Attempts therefore only ENQUEUE device work here; the
-        results of every attempt issued during a chunk are drained in one
-        device_get by resolve_pending() at the top of the next chunk
-        iteration — the exact point where a synchronous accept would have
-        taken effect (state patches always land between chunks)."""
-        nonlocal cache_anchor, cache_gs
-        # prefer the cached anchor while the new keyframe stays inside its
-        # loop radius (and keeps the index gap): consecutive attempts along
-        # a revisited stretch then skip the submap rebuild entirely
-        i = None
-        if cache_anchor >= 0 and k_new - cache_anchor >= graph_cfg.loop_min_gap:
-            a = kf_poses[cache_anchor]
-            p = kf_poses[k_new]
-            if np.hypot(a[0] - p[0], a[1] - p[1]) <= graph_cfg.loop_radius:
-                i = cache_anchor
-        if i is None:
-            i = find_loop(k_new)
-            cache_anchor = i if i is not None else -1
-            cache_gs = None
-        if i is None:
-            return
-        anchor = kf_poses[i]
-        prior = kf_poses[k_new]
-        prior_rel = _np_between(anchor, prior)
-        if cache_gs is None:
-            # submap from keyframe i's neighborhood, built in KEYFRAME i's
-            # frame (poses relative to i, grid centered at 0): the matched
-            # pose of the current scan in that frame IS the measurement
-            # z_ij. Buffers are the small submap capacity, not max_nodes —
-            # the padded transfers and wasted scan steps dominated the
-            # attempt cost (see make_loop_attempt_fns).
-            lo = max(0, i - submap_halfwidth)
-            hi = min(len(kf_poses), i + submap_halfwidth + 1)
-            cap = 2 * submap_halfwidth + 2
-            rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
-            poses_buf = np.zeros((cap, 3), np.float32)
-            scans_buf = np.zeros((cap, ranges_np.shape[1]), np.float32)
-            mask_buf = np.zeros(cap, np.float32)
-            nsub = hi - lo
-            poses_buf[:nsub] = rel
-            scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
-            mask_buf[:nsub] = 1.0
-            g_d, S_d, pose_d, score_d, margin_d = attempt_full(
-                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
-                jnp.asarray(mask_buf), jnp.asarray(ranges_np[scan_i]),
-                jnp.asarray(prior_rel),
-            )
-            cache_gs = (g_d, S_d)
-        else:
-            pose_d, score_d, margin_d = attempt_cached(
-                cache_gs[0], cache_gs[1], jnp.asarray(ranges_np[scan_i]),
-                jnp.asarray(prior_rel),
-            )
-        pending.append({
-            "i": i, "k_new": k_new, "scan_i": scan_i,
-            "prior_rel": np.asarray(prior_rel),
-            "outs": (pose_d, score_d, margin_d),
-        })
-
-    def resolve_pending():
-        """Drain every in-flight attempt in ONE device_get and apply the
-        gates; the first accept wins and later in-flight attempts are
-        dropped (their submaps and priors predate the correction — the
-        synchronous formulation's cooldown would have blocked them)."""
-        nonlocal cooldown
-        if not pending:
-            return
-        outs = jax.device_get([a["outs"] for a in pending])
-        batch = [(a, o) for a, o in zip(list(pending), outs)]
-        pending.clear()
-        accepted_k = None
-        reissue = []
-        for a, (matched_rel, score, margin) in batch:
-            if accepted_k is not None:
-                # in-flight attempts after an accept predate the
-                # correction. Keyframes inside the accept's cooldown
-                # horizon are dropped (the synchronous formulation's
-                # cooldown blocked them); later ones are RE-ISSUED against
-                # the corrected state — they would have been attempted.
-                if a["k_new"] - accepted_k > graph_cfg.loop_cooldown:
-                    reissue.append(a)
-                continue
-            # correction implied on the estimate (the plausibility gate)
-            corr = _np_between(a["prior_rel"], matched_rel)
-            attempt = [float(a["i"]), float(a["k_new"]), float(score),
-                       float(margin), float(np.hypot(corr[0], corr[1])),
-                       float(abs(corr[2])), 0.0]
-            attempt_records.append(attempt)
-            if float(score) < graph_cfg.loop_score_accept:
-                continue
-            if float(margin) < graph_cfg.loop_min_peak_margin:
-                continue
-            if (
-                np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
-                or abs(corr[2]) > graph_cfg.loop_max_correction_theta
-            ):
-                continue
-            attempt[6] = 1.0
-            _accept_loop(
-                a["i"], a["k_new"], a["scan_i"],
-                np.asarray(matched_rel, np.float32), float(score),
-            )
-            accepted_k = a["k_new"]
-            # sync-equivalent cooldown: keyframes admitted since the
-            # accepted one already consumed part of it
-            cooldown = max(
-                0,
-                graph_cfg.loop_cooldown - (len(kf_poses) - 1 - a["k_new"]),
-            )
-        for a in reissue:
-            issue_attempt(a["k_new"], a["scan_i"])
-
-    def _accept_loop(i, k_new, scan_i, z, score):
-        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
-        graph.add_edge(i, k_new, z, np.eye(3) * loop_edge_info)
-        loop_records.append((i, k_new, score, z[0], z[1], z[2]))
-        n_loops += 1
-
-        # optimize + apply corrections (ONE host->device graph transfer)
-        dev_graph = graph.to_device()
-        if optimizer == "schur":
-            from slam2d_tpu.graph.schur import optimize_schur
-
-            dev_graph, chi = optimize_schur(dev_graph, graph_cfg, n_blocks=4)
-        elif optimizer == "schur_sharded":
-            from slam2d_tpu.graph.schur import optimize_schur_sharded
-            from slam2d_tpu.parallel.mesh import make_particle_mesh
-
-            mesh = make_particle_mesh()
-            dev_graph, chi = optimize_schur_sharded(dev_graph, graph_cfg, mesh)
-        else:
-            dev_graph, chi = se2_graph.optimize(dev_graph, graph_cfg)
-        chi2 = float(chi)
-        old_kf = np.stack(kf_poses)
-        corrected = np.asarray(dev_graph.poses[: len(kf_poses)])
-        graph.set_poses(corrected)
-        for k in range(len(kf_poses)):
-            kf_poses[k] = corrected[k]
-        # keyframe poses changed: the cached submap is stale
-        cache_anchor = -1
-        cache_gs = None
-        # retro-correct the emitted per-scan trajectory: scans between
-        # keyframe k and k+1 move rigidly with keyframe k's correction
-        _retro_correct_traj(
-            traj_out, kf_scan_idx, old_kf, corrected, scan_i,
-            offset=scan_index_offset,
-        )
-        # patch the live frontend: pose rides with the last keyframe
-        # patch the live frontend pose: transport the motion since the
-        # LAST keyframe (in its pre-correction frame) onto its corrected
-        # pose. NOT the accepted keyframe k_new — by resolution time later
-        # keyframes exist, and composing a k_new-relative delta onto
-        # kf_poses[-1] would teleport the pose by their separation.
-        delta = _np_between(old_kf[-1], est)
-        est = np.asarray(_np_compose(kf_poses[-1], delta), np.float32)
-        new_pose = jnp.asarray(est)
-        # rebuild the global map from all (corrected) keyframes
+    def apply_correction(est_np):
+        # rebuild the global map from all (corrected) keyframes and patch
+        # the live frontend
+        nonlocal state
+        new_pose = jnp.asarray(est_np)
         Kmax = graph_cfg.max_nodes
         poses_buf = np.zeros((Kmax, 3), np.float32)
-        scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
-        mask_buf2 = np.zeros(Kmax, np.float32)
+        scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
+        mask_buf = np.zeros(Kmax, np.float32)
         nk = len(kf_poses)
         poses_buf[:nk] = np.stack(kf_poses)
-        scans_buf2[:nk] = np.stack(kf_scans)
-        mask_buf2[:nk] = 1.0
+        scans_buf[:nk] = np.stack(kf_scans)
+        mask_buf[:nk] = 1.0
         new_grid = rebuild(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf2),
-            jnp.asarray(mask_buf2), n_active=nk,
+            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+            jnp.asarray(mask_buf), n_active=nk,
         )
         state = state._replace(
             logodds=new_grid,
@@ -668,8 +703,16 @@ def run_full_slam(
             last_map_pose=new_pose + 0.0,
         )
 
+    closer = LoopCloser(
+        cfg, graph_cfg, loop_matcher, submap_cfg, submap_halfwidth,
+        graph, kf_poses, kf_scans, kf_scan_idx, ranges_np, traj_out,
+        optimizer, loop_edge_info, scan_index_offset, apply_correction,
+        loop_records, n_loops=n_loops, chi2=chi2,
+        cache_anchor=init_cache_anchor,
+    )
+
     # ---- main host loop over chunks ---------------------------------------
-    pending: list = []
+    emitted_upto = -1   # last traj_out row written (run-local index)
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
     # carried host copy of the frontend pose: the accept path used to
@@ -679,7 +722,11 @@ def run_full_slam(
     for s0 in range(0, T, K):
         # drain last chunk's in-flight attempts FIRST: an accept patches
         # the frontend state, which must land before this chunk's compute
-        resolve_pending()
+        cd, est, nl = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
         if len(o) < K:
@@ -690,6 +737,7 @@ def run_full_slam(
         tr, est = jax.device_get((tr, state.pose))
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
+        emitted_upto = s0 + n_here - 1
 
         # keyframe admission over this chunk
         for t in range(n_here):
@@ -711,9 +759,14 @@ def run_full_slam(
                 if cooldown > 0:
                     cooldown -= 1
                 else:
-                    issue_attempt(k_new, scan_i)
+                    closer.issue(k_new, scan_i)
 
-    resolve_pending()   # drain: checkpoint state must be fully settled
+    while closer.pending:   # drain fully: an accept can re-issue attempts
+        cd, est, nl = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
     ckpt = fullslam_ckpt_template(cfg, graph_cfg)
     ckpt["frontend"] = state
     ckpt["graph"] = graph.to_device()
@@ -728,11 +781,11 @@ def run_full_slam(
         )
     ckpt["kf_count"] = np.int32(nk)
     if loop_records:
-        ckpt["loops"][:n_loops] = np.asarray(loop_records, np.float32)
-    ckpt["n_loops"] = np.int32(n_loops)
-    ckpt["chi2"] = np.float32(chi2)
+        ckpt["loops"][:closer.n_loops] = np.asarray(loop_records, np.float32)
+    ckpt["n_loops"] = np.int32(closer.n_loops)
+    ckpt["chi2"] = np.float32(closer.chi2)
     ckpt["cooldown"] = np.int32(cooldown)
-    ckpt["loop_cache_anchor"] = np.int32(cache_anchor)
+    ckpt["loop_cache_anchor"] = np.int32(closer.cache_anchor)
     ckpt["map_poses"] = rebuild.map_poses.copy()
     ckpt["map_pose_count"] = np.int32(rebuild.n_prev)
 
@@ -740,10 +793,12 @@ def run_full_slam(
         traj=traj_out,
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
         kf_scan_idx=np.asarray(kf_scan_idx, np.int64),
-        n_loops=n_loops,
+        n_loops=closer.n_loops,
         grid=state.logodds,
-        chi2=chi2,
+        chi2=closer.chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
-        loop_attempts=np.asarray(attempt_records, np.float32).reshape(-1, 7),
+        loop_attempts=np.asarray(
+            closer.attempt_records, np.float32
+        ).reshape(-1, 7),
         ckpt=ckpt,
     )

@@ -30,7 +30,6 @@ from slam2d_tpu.grid.window import blur_halo_cells
 from slam2d_tpu.match.correlative import build_search_space
 from slam2d_tpu.run.frontend_tiled import (
     _np_between,
-    _np_between_batch,
     _np_compose,
     _param_grid_cfg,
     make_tiled_chunk_fn,
@@ -39,10 +38,9 @@ from slam2d_tpu.run.frontend_tiled import (
 )
 from slam2d_tpu.run.full_slam import (
     FullSLAMResult,
-    _retro_correct_traj,
+    LoopCloser,
     default_loop_matcher,
     default_submap_grid,
-    make_loop_attempt_fns,
 )
 from slam2d_tpu.grid.tiles import gather_region, scatter_region, world_to_cell_global
 
@@ -171,7 +169,9 @@ class IncrementalTiledRebuilder:
                 grid, sgrid, poses_j[s : s + self.chunk],
                 scans[s : s + self.chunk], mask[s : s + self.chunk],
             )
-            if s + self.chunk <= k0:
+            # never cache the pools that will be RETURNED: they become
+            # the frontend state and the next chunk_fn donates them
+            if s + self.chunk <= k0 and s + self.chunk < n_end:
                 self.cache = (grid, sgrid, coords_np)
                 self.cache_k = s + self.chunk
         self.map_poses[:n] = poses[:n]
@@ -236,9 +236,6 @@ def run_full_slam_tiled(
 
     chunk_fn = make_tiled_chunk_fn(cfg, tcfg)
     submap_cfg = default_submap_grid(cfg)
-    attempt_full, attempt_cached = make_loop_attempt_fns(
-        cfg, loop_matcher, submap_cfg
-    )
     rebuild_tiles = IncrementalTiledRebuilder(
         cfg, tcfg, graph_cfg.max_nodes,
         # eps 0 = nothing snaps, every rebuild replays from scratch (the
@@ -293,11 +290,6 @@ def run_full_slam_tiled(
         init_last_kf = None
         init_cache_anchor = -1
     traj_out = np.zeros((T, 3), np.float32)
-    attempt_records: list = []
-    # submap cache (anchor index + device-resident grid/field) — see
-    # run_full_slam; the anchor index rides in the checkpoint
-    cache_anchor = init_cache_anchor
-    cache_gs = None
 
     def admit_keyframe(pose, scan_i):
         # pure-host admission: an eager device graph update here costs
@@ -312,171 +304,24 @@ def run_full_slam_tiled(
             graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
-    def find_loop(k_new: int):
-        if k_new < graph_cfg.loop_min_gap:
-            return None
-        p = kf_poses[k_new]
-        old = np.stack(kf_poses[: k_new - graph_cfg.loop_min_gap + 1])
-        d = np.hypot(old[:, 0] - p[0], old[:, 1] - p[1])
-        i = int(np.argmin(d))
-        return i if d[i] <= graph_cfg.loop_radius else None
-
-    def issue_attempt(k_new: int, scan_i: int):
-        # dispatch WITHOUT waiting; resolve_pending() drains all attempt
-        # verdicts in one device_get at the next chunk boundary — see
-        # run_full_slam.issue_attempt
-        nonlocal cache_anchor, cache_gs
-        # prefer the cached anchor while the new keyframe stays inside its
-        # loop radius and keeps the index gap (see run_full_slam)
-        i = None
-        if cache_anchor >= 0 and k_new - cache_anchor >= graph_cfg.loop_min_gap:
-            a = kf_poses[cache_anchor]
-            p = kf_poses[k_new]
-            if np.hypot(a[0] - p[0], a[1] - p[1]) <= graph_cfg.loop_radius:
-                i = cache_anchor
-        if i is None:
-            i = find_loop(k_new)
-            cache_anchor = i if i is not None else -1
-            cache_gs = None
-        if i is None:
-            return
-        anchor = kf_poses[i]
-        prior = kf_poses[k_new]
-        prior_rel = _np_between(anchor, prior)
-        if cache_gs is None:
-            lo = max(0, i - submap_halfwidth)
-            hi = min(len(kf_poses), i + submap_halfwidth + 1)
-            cap = 2 * submap_halfwidth + 2
-            rel = _np_between_batch(anchor, np.stack(kf_poses[lo:hi]))
-            poses_buf = np.zeros((cap, 3), np.float32)
-            scans_buf = np.zeros((cap, ranges_np.shape[1]), np.float32)
-            mask_buf = np.zeros(cap, np.float32)
-            nsub = hi - lo
-            poses_buf[:nsub] = rel
-            scans_buf[:nsub] = np.stack(kf_scans[lo:hi])
-            mask_buf[:nsub] = 1.0
-            g_d, S_d, pose_d, score_d, margin_d = attempt_full(
-                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
-                jnp.asarray(mask_buf), jnp.asarray(ranges_np[scan_i]),
-                jnp.asarray(prior_rel),
-            )
-            cache_gs = (g_d, S_d)
-        else:
-            pose_d, score_d, margin_d = attempt_cached(
-                cache_gs[0], cache_gs[1], jnp.asarray(ranges_np[scan_i]),
-                jnp.asarray(prior_rel),
-            )
-        pending.append({
-            "i": i, "k_new": k_new, "scan_i": scan_i,
-            "prior_rel": np.asarray(prior_rel),
-            "outs": (pose_d, score_d, margin_d),
-        })
-
-    def resolve_pending():
-        # drain in one device_get; first accept wins, later in-flight
-        # attempts drop (see run_full_slam.resolve_pending)
-        nonlocal cooldown
-        if not pending:
-            return
-        outs = jax.device_get([a["outs"] for a in pending])
-        batch = [(a, o) for a, o in zip(list(pending), outs)]
-        pending.clear()
-        accepted_k = None
-        reissue = []
-        for a, (matched_rel, score, margin) in batch:
-            if accepted_k is not None:
-                # in-flight attempts after an accept predate the
-                # correction. Keyframes inside the accept's cooldown
-                # horizon are dropped (the synchronous formulation's
-                # cooldown blocked them); later ones are RE-ISSUED against
-                # the corrected state — they would have been attempted.
-                if a["k_new"] - accepted_k > graph_cfg.loop_cooldown:
-                    reissue.append(a)
-                continue
-            corr = _np_between(a["prior_rel"], matched_rel)
-            attempt = [float(a["i"]), float(a["k_new"]), float(score),
-                       float(margin), float(np.hypot(corr[0], corr[1])),
-                       float(abs(corr[2])), 0.0]
-            attempt_records.append(attempt)
-            if float(score) < graph_cfg.loop_score_accept:
-                continue
-            if float(margin) < graph_cfg.loop_min_peak_margin:
-                continue
-            if (
-                np.hypot(corr[0], corr[1]) > graph_cfg.loop_max_correction_xy
-                or abs(corr[2]) > graph_cfg.loop_max_correction_theta
-            ):
-                continue
-            attempt[6] = 1.0
-            _accept_loop(
-                a["i"], a["k_new"], a["scan_i"],
-                np.asarray(matched_rel, np.float32), float(score),
-            )
-            accepted_k = a["k_new"]
-            # sync-equivalent cooldown: keyframes admitted since the
-            # accepted one already consumed part of it
-            cooldown = max(
-                0,
-                graph_cfg.loop_cooldown - (len(kf_poses) - 1 - a["k_new"]),
-            )
-        for a in reissue:
-            issue_attempt(a["k_new"], a["scan_i"])
-
-    def _accept_loop(i, k_new, scan_i, z, score):
-        nonlocal n_loops, chi2, state, cache_anchor, cache_gs, est
-        graph.add_edge(i, k_new, z, np.eye(3) * loop_edge_info)
-        loop_records.append((i, k_new, score, z[0], z[1], z[2]))
-        n_loops += 1
-
-        dev_graph = graph.to_device()
-        if optimizer == "schur":
-            from slam2d_tpu.graph.schur import optimize_schur
-
-            dev_graph, chi = optimize_schur(dev_graph, graph_cfg, n_blocks=4)
-        elif optimizer == "schur_sharded":
-            from slam2d_tpu.graph.schur import optimize_schur_sharded
-            from slam2d_tpu.parallel.mesh import make_particle_mesh
-
-            mesh = make_particle_mesh()
-            dev_graph, chi = optimize_schur_sharded(dev_graph, graph_cfg, mesh)
-        else:
-            dev_graph, chi = se2_graph.optimize(dev_graph, graph_cfg)
-        chi2 = float(chi)
-        old_kf = np.stack(kf_poses)
-        corrected = np.asarray(dev_graph.poses[: len(kf_poses)])
-        graph.set_poses(corrected)
-        for k in range(len(kf_poses)):
-            kf_poses[k] = corrected[k]
-        # keyframe poses changed: the cached submap is stale
-        cache_anchor = -1
-        cache_gs = None
-        _retro_correct_traj(
-            traj_out, kf_scan_idx, old_kf, corrected, scan_i,
-            offset=scan_index_offset,
-        )
-        # patch the live frontend pose: transport the motion since the
-        # LAST keyframe (in its pre-correction frame) onto its corrected
-        # pose. NOT the accepted keyframe k_new — by resolution time later
-        # keyframes exist, and composing a k_new-relative delta onto
-        # kf_poses[-1] would teleport the pose by their separation.
-        delta = _np_between(old_kf[-1], est)
-        est = np.asarray(_np_compose(kf_poses[-1], delta), np.float32)
-        new_pose = jnp.asarray(est)
-
-        # activate tiles for corrected keyframes, rebuild both tile sets
+    def apply_correction(est_np):
+        # activate tiles for corrected keyframes, rebuild both tile sets,
+        # and patch the live frontend
+        nonlocal state
+        new_pose = jnp.asarray(est_np)
         need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
         grid = table.activate(state.grid, need)
         nk = len(kf_poses)
         Kmax = graph_cfg.max_nodes
-        poses_buf2 = np.zeros((Kmax, 3), np.float32)
-        scans_buf2 = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
-        mask_buf2 = np.zeros(Kmax, np.float32)
-        poses_buf2[:nk] = np.stack(kf_poses)
-        scans_buf2[:nk] = np.stack(kf_scans)
-        mask_buf2[:nk] = 1.0
+        poses_buf = np.zeros((Kmax, 3), np.float32)
+        scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
+        mask_buf = np.zeros(Kmax, np.float32)
+        poses_buf[:nk] = np.stack(kf_poses)
+        scans_buf[:nk] = np.stack(kf_scans)
+        mask_buf[:nk] = 1.0
         new_grid, new_sgrid = rebuild_tiles(
-            grid.coords, jnp.asarray(poses_buf2), jnp.asarray(scans_buf2),
-            jnp.asarray(mask_buf2), n_active=nk,
+            grid.coords, jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+            jnp.asarray(mask_buf), n_active=nk,
         )
         state = state._replace(
             grid=new_grid,
@@ -485,7 +330,15 @@ def run_full_slam_tiled(
             last_map_pose=new_pose + 0.0,
         )
 
-    pending: list = []
+    closer = LoopCloser(
+        cfg, graph_cfg, loop_matcher, submap_cfg, submap_halfwidth,
+        graph, kf_poses, kf_scans, kf_scan_idx, ranges_np, traj_out,
+        optimizer, loop_edge_info, scan_index_offset, apply_correction,
+        loop_records, n_loops=n_loops, chi2=chi2,
+        cache_anchor=init_cache_anchor,
+    )
+
+    emitted_upto = -1   # last traj_out row written (run-local index)
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
     # carried host copies of (pose, prev_odom): the per-chunk forecast and
@@ -498,7 +351,11 @@ def run_full_slam_tiled(
     for s0 in range(0, T, K):
         # drain last chunk's in-flight attempts FIRST: an accept patches
         # the frontend state, which must land before this chunk's compute
-        resolve_pending()
+        cd, est, nl = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
         o = odom_np[s0 : s0 + K]
         r = ranges_np[s0 : s0 + K]
         if len(o) < K:
@@ -520,6 +377,7 @@ def run_full_slam_tiled(
         base = o[-1]
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
+        emitted_upto = s0 + n_here - 1
 
         for t in range(n_here):
             scan_i = s0 + t
@@ -538,9 +396,14 @@ def run_full_slam_tiled(
                 if cooldown > 0:
                     cooldown -= 1
                 else:
-                    issue_attempt(k_new, scan_i)
+                    closer.issue(k_new, scan_i)
 
-    resolve_pending()   # drain: checkpoint state must be fully settled
+    while closer.pending:   # drain fully: an accept can re-issue attempts
+        cd, est, nl = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
     ckpt = fullslam_tiled_ckpt_template(cfg, tcfg, graph_cfg)
     ckpt["frontend"] = state
     ckpt["graph"] = graph.to_device()
@@ -555,11 +418,11 @@ def run_full_slam_tiled(
         )
     ckpt["kf_count"] = np.int32(nk)
     if loop_records:
-        ckpt["loops"][:n_loops] = np.asarray(loop_records, np.float32)
-    ckpt["n_loops"] = np.int32(n_loops)
-    ckpt["chi2"] = np.float32(chi2)
+        ckpt["loops"][:closer.n_loops] = np.asarray(loop_records, np.float32)
+    ckpt["n_loops"] = np.int32(closer.n_loops)
+    ckpt["chi2"] = np.float32(closer.chi2)
     ckpt["cooldown"] = np.int32(cooldown)
-    ckpt["loop_cache_anchor"] = np.int32(cache_anchor)
+    ckpt["loop_cache_anchor"] = np.int32(closer.cache_anchor)
     ckpt["map_poses"] = rebuild_tiles.map_poses.copy()
     ckpt["map_pose_count"] = np.int32(rebuild_tiles.n_prev)
 
@@ -567,10 +430,12 @@ def run_full_slam_tiled(
         traj=traj_out,
         kf_poses=np.stack(kf_poses) if kf_poses else np.zeros((0, 3)),
         kf_scan_idx=np.asarray(kf_scan_idx, np.int64),
-        n_loops=n_loops,
+        n_loops=closer.n_loops,
         grid=state.grid,   # the TiledGrid (stitch with grid.tiles.stitch_tiles)
-        chi2=chi2,
+        chi2=closer.chi2,
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
-        loop_attempts=np.asarray(attempt_records, np.float32).reshape(-1, 7),
+        loop_attempts=np.asarray(
+            closer.attempt_records, np.float32
+        ).reshape(-1, 7),
         ckpt=ckpt,
     )
