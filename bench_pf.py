@@ -31,7 +31,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=100)
-    ap.add_argument("--map-dtype", default="float32")
+    ap.add_argument("--map-dtype", default="bfloat16")
     ap.add_argument("--refine-chunk", type=int, default=0)
     ap.add_argument("--update-impl", default="auto")
     args = ap.parse_args()

@@ -159,7 +159,11 @@ class PFConfig:
     weight_sharpness: float = 30.0
     # Per-particle map storage dtype: "bfloat16" halves HBM and the
     # bandwidth of updates/resampling rings (log-odds clamp at +-10 keeps
-    # bf16 ulp <= 0.06 — well under the +-0.4/0.85 increments).
+    # bf16 ulp <= 0.06 — well under the +-0.4/0.85 increments). On TPU
+    # bf16 is the recommended setting: FastSLAM-100 561 -> 783 scans/s at
+    # ATE parity across seeds (bench_pf.py defaults to it); the library
+    # default stays f32 so CPU-run tests and comparators see exact
+    # arithmetic.
     map_dtype: str = "float32"
     # Refine particles in chunks of this size via lax.map (0 = all at
     # once). The MXU scorer materializes ~13 MB of one-hot operands per
