@@ -307,6 +307,12 @@ def main(argv=None) -> int:
         os.makedirs(args.out, exist_ok=True)
         np.save(os.path.join(args.out, "trajectory.npy"), traj)
         np.save(os.path.join(args.out, "map_logodds.npy"), np.asarray(grid))
+        if np.asarray(grid).ndim == 2:
+            # ROS map_server interchange (PGM + YAML): lets rviz /
+            # map_server / AMCL consume the built map directly
+            from slam2d_tpu.viz.ros_map import save_ros_map
+
+            save_ros_map(os.path.join(args.out, "map"), grid, cfg.grid)
         if args.save_viz and np.asarray(grid).ndim == 2:
             from slam2d_tpu.viz import save_map_png
 
