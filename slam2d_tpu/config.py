@@ -217,6 +217,10 @@ class FrontendConfig:
     # for viewpoint diversity before trusting the matcher kills the early
     # transient that otherwise bakes error into the map.
     bootstrap_dist: float = 3.0
+    # Localization-only: track against a FIXED prebuilt map (no bootstrap,
+    # no map updates, search space built once) — AMCL-style pose tracking.
+    # Set via run_localization / CLI --mode localize.
+    localize_only: bool = False
     # Motion filter: after bootstrap, only integrate a scan into the map
     # when the robot moved/rotated this much since the last integration
     # (reduces same-viewpoint map poisoning; Cartographer-style).

@@ -24,7 +24,8 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="slam2d_tpu", description=__doc__)
-    p.add_argument("--mode", choices=["frontend", "fastslam", "full"],
+    p.add_argument("--mode",
+                   choices=["frontend", "fastslam", "full", "localize"],
                    default="frontend")
     p.add_argument("--tiled", action="store_true",
                    help="unbounded tiled world map (frontend/full modes)")
@@ -39,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "visible devices (overrides --schur)")
     p.add_argument("--log", required=True,
                    help="CARMEN .log/.clf, preprocessed .json, or 'synth'")
+    p.add_argument("--map", default=None,
+                   help="localize mode: prebuilt map — a ROS map_server "
+                        ".yaml (with its .pgm) or a map_logodds.npy")
     p.add_argument("--out", default=None, help="output directory")
     # grid overrides
     p.add_argument("--grid-size", type=int, default=1024)
@@ -180,6 +184,30 @@ def main(argv=None) -> int:
         grid = state.grid.tiles
         extra["median_score"] = float(np.median(scores[scores >= 0.0]))
         extra["tiled"] = True
+    elif args.mode == "localize":
+        import dataclasses as _dc
+
+        from slam2d_tpu.run.frontend import run_localization
+
+        if not args.map:
+            raise SystemExit("--mode localize requires --map")
+        if args.map.endswith(".npy"):
+            prebuilt = np.load(args.map)
+            gcfg = cfg.grid
+            if prebuilt.shape != (gcfg.height, gcfg.width):
+                raise SystemExit(
+                    f"map shape {prebuilt.shape} != grid "
+                    f"{(gcfg.height, gcfg.width)}; pass matching --grid-size"
+                )
+        else:
+            from slam2d_tpu.viz.ros_map import load_ros_map
+
+            prebuilt, gcfg = load_ros_map(args.map)
+            cfg = _dc.replace(cfg, grid=gcfg)
+        state, traj, scores = run_localization(log, cfg, prebuilt)
+        grid = state.logodds
+        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+        extra["localized_against"] = args.map
     elif args.mode == "frontend":
         from slam2d_tpu.run.frontend import frontend_init, run_frontend
 

@@ -70,7 +70,11 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
     delta = se2.between(state.prev_odom, odom)
     step_len = jnp.hypot(delta[0], delta[1])
     prior = se2.compose(state.pose, delta)
-    in_boot = state.dist < cfg.bootstrap_dist
+    # localization mode: the map is given, so there is no bootstrap phase
+    in_boot = (
+        jnp.bool_(False) if cfg.localize_only
+        else state.dist < cfg.bootstrap_dist
+    )
     since_m = state.since_match + jnp.stack(
         [step_len, jnp.abs(se2.wrap_angle(delta[2]))]
     )
@@ -108,6 +112,18 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
 
     pose, score = jax.lax.cond(do_match, match_branch, skip_match, None)
     since_m = jnp.where(do_match, jnp.zeros_like(since_m), since_m)
+
+    if cfg.localize_only:
+        # fixed map: no integration, no field rebuild — the whole update
+        # stage is cut out of the trace
+        dist = state.dist + step_len
+        return (
+            FrontendState(
+                state.logodds, state.search_space, pose, odom, dist,
+                state.last_map_pose, since_m,
+            ),
+            (pose, score),
+        )
 
     moved = jnp.hypot(
         pose[0] - state.last_map_pose[0], pose[1] - state.last_map_pose[1]
@@ -212,3 +228,35 @@ def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = N
     traj = np.concatenate(trajs)[:T]
     score = np.concatenate(scores)[:T]
     return state, traj, score
+
+
+def run_localization(
+    log: dict,
+    cfg: FrontendConfig,
+    logodds,
+    start_pose=None,
+):
+    """Pose tracking against a FIXED prebuilt map (no bootstrap, no map
+    updates): the AMCL-style localization mode. `logodds` is any [H, W]
+    log-odds map matching cfg.grid's geometry — e.g. a previous run's
+    `map_logodds.npy`, or a ROS map_server pair via viz.ros_map.load_ros_map
+    (pass its returned GridConfig as cfg.grid).
+
+    Returns (final_state, traj [T, 3], scores [T]) like run_frontend."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, localize_only=True)
+    odom = np.asarray(log["odom"], np.float32)
+    grid = jnp.asarray(logodds, jnp.float32)
+    assert grid.shape == (cfg.grid.height, cfg.grid.width), (
+        grid.shape, (cfg.grid.height, cfg.grid.width))
+    state = frontend_init(
+        cfg,
+        start_pose=odom[0] if start_pose is None else start_pose,
+        start_odom=odom[0],
+    )
+    state = state._replace(
+        logodds=grid,
+        search_space=build_search_space(grid, cfg.matcher, cfg.grid.resolution),
+    )
+    return run_frontend(log, cfg, state=state)
