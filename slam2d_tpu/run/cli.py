@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map", default=None,
                    help="localize mode: prebuilt map — a ROS map_server "
                         ".yaml (with its .pgm) or a map_logodds.npy")
+    p.add_argument("--global-init", action="store_true",
+                   help="localize mode: recover the starting pose from the "
+                        "first scan by whole-map FFT relocalization "
+                        "(kidnapped-robot start; ignores the odometry "
+                        "frame's origin)")
     p.add_argument("--out", default=None, help="output directory")
     # grid overrides
     p.add_argument("--grid-size", type=int, default=1024)
@@ -204,7 +209,18 @@ def main(argv=None) -> int:
 
             prebuilt, gcfg = load_ros_map(args.map)
             cfg = _dc.replace(cfg, grid=gcfg)
-        state, traj, scores = run_localization(log, cfg, prebuilt)
+        start = None
+        if args.global_init:
+            from slam2d_tpu.match.global_loc import global_localize
+
+            p0, sc0 = global_localize(
+                prebuilt, np.asarray(log["ranges"][0], np.float32),
+                cfg.grid, cfg.matcher, cfg.sensor,
+            )
+            start = np.asarray(p0)
+            extra["global_init_pose"] = [round(float(v), 4) for v in start]
+            extra["global_init_score"] = round(float(sc0), 4)
+        state, traj, scores = run_localization(log, cfg, prebuilt, start_pose=start)
         grid = state.logodds
         extra["median_score"] = float(np.median(scores[scores >= 0.0]))
         extra["localized_against"] = args.map
