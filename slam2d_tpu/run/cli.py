@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map", default=None,
                    help="localize mode: prebuilt map — a ROS map_server "
                         ".yaml (with its .pgm) or a map_logodds.npy")
+    p.add_argument("--recover", action="store_true",
+                   help="localize mode: when tracking scores collapse, "
+                        "relocalize on the whole map and reset the pose")
     p.add_argument("--global-init", action="store_true",
                    help="localize mode: recover the starting pose from the "
                         "first scan by whole-map FFT relocalization "
@@ -220,7 +223,11 @@ def main(argv=None) -> int:
             start = np.asarray(p0)
             extra["global_init_pose"] = [round(float(v), 4) for v in start]
             extra["global_init_score"] = round(float(sc0), 4)
-        state, traj, scores = run_localization(log, cfg, prebuilt, start_pose=start)
+        state, traj, scores, events = run_localization(
+            log, cfg, prebuilt, start_pose=start, recover=args.recover,
+        )
+        if events:
+            extra["recoveries"] = events
         grid = state.logodds
         extra["median_score"] = float(np.median(scores[scores >= 0.0]))
         extra["localized_against"] = args.map

@@ -235,6 +235,9 @@ def run_localization(
     cfg: FrontendConfig,
     logodds,
     start_pose=None,
+    recover: bool = False,
+    recover_score: float = 0.25,
+    recover_accept: float = 0.5,
 ):
     """Pose tracking against a FIXED prebuilt map (no bootstrap, no map
     updates): the AMCL-style localization mode. `logodds` is any [H, W]
@@ -242,21 +245,72 @@ def run_localization(
     `map_logodds.npy`, or a ROS map_server pair via viz.ros_map.load_ros_map
     (pass its returned GridConfig as cfg.grid).
 
-    Returns (final_state, traj [T, 3], scores [T]) like run_frontend."""
+    With recover=True, a chunk whose matched scores collapse below
+    `recover_score` (median; tracking lost — kidnapped robot, bad
+    odometry splice) triggers whole-map FFT relocalization
+    (match/global_loc.py) on the chunk's last scan; the pose resets if
+    the global peak scores >= recover_accept. Costs one score fetch per
+    chunk (localization is interactive, not a throughput pipeline).
+
+    Returns (final_state, traj [T, 3], scores [T], events) — events is a
+    list of {"scan", "score", "pose"} dicts, one per accepted recovery
+    (always [] when recover=False)."""
     import dataclasses
 
     cfg = dataclasses.replace(cfg, localize_only=True)
     odom = np.asarray(log["odom"], np.float32)
+    ranges = np.asarray(log["ranges"], np.float32)
+    T = len(odom)
+    K = cfg.chunk
     grid = jnp.asarray(logodds, jnp.float32)
     assert grid.shape == (cfg.grid.height, cfg.grid.width), (
         grid.shape, (cfg.grid.height, cfg.grid.width))
+    S = build_search_space(grid, cfg.matcher, cfg.grid.resolution)
     state = frontend_init(
         cfg,
         start_pose=odom[0] if start_pose is None else start_pose,
         start_odom=odom[0],
     )
-    state = state._replace(
-        logodds=grid,
-        search_space=build_search_space(grid, cfg.matcher, cfg.grid.resolution),
-    )
-    return run_frontend(log, cfg, state=state)
+    state = state._replace(logodds=grid, search_space=S)
+    if not recover:
+        st, traj, score = run_frontend(log, cfg, state=state)
+        return st, traj, score, []
+
+    from slam2d_tpu.match.global_loc import global_localize
+
+    chunk_fn = make_chunk_fn(cfg)
+    events: list = []
+    trajs, scores = [], []
+    for s in range(0, T, K):
+        o = odom[s : s + K]
+        r = ranges[s : s + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+        trajs.append(tr)
+        scores.append(sc)
+        n_here = min(K, T - s)
+        sc_h = np.asarray(sc)[:n_here]
+        matched = sc_h[sc_h >= 0.0]
+        if len(matched) >= 3 and float(np.median(matched)) < recover_score:
+            last = s + n_here - 1
+            # read the map/field from the LIVE state: chunk_fn donates its
+            # input state, so the originals were deleted on the first call
+            pose0, s0 = global_localize(
+                state.logodds, jnp.asarray(ranges[last]), cfg.grid,
+                cfg.matcher, cfg.sensor, search_space=state.search_space,
+            )
+            s0 = float(s0)
+            if s0 >= recover_accept:
+                pose0 = np.asarray(pose0)
+                state = state._replace(pose=jnp.asarray(pose0))
+                events.append({
+                    "scan": last, "score": round(s0, 4),
+                    "pose": [round(float(v), 4) for v in pose0],
+                })
+    trajs, scores = jax.device_get((trajs, scores))
+    traj = np.concatenate(trajs)[:T]
+    score = np.concatenate(scores)[:T]
+    return state, traj, score, events

@@ -33,7 +33,7 @@ def test_localization_beats_odometry_and_map_is_fixed():
     state, _, _ = run_frontend(map_log, CFG)
     prebuilt = np.asarray(state.logodds)
 
-    st, traj, scores = run_localization(loc_log, CFG, prebuilt)
+    st, traj, scores, events = run_localization(loc_log, CFG, prebuilt)
     gt = loc_log["gt_poses"]
     ate = float(ate_rmse(traj, gt, align=False))
     odom_ate = float(ate_rmse(loc_log["odom"], gt, align=False))
@@ -54,8 +54,50 @@ def test_localization_from_ros_map(tmp_path):
     prebuilt, gcfg = load_ros_map(str(tmp_path / "map.yaml"))
     cfg = dataclasses.replace(CFG, grid=gcfg)
 
-    _, traj, _ = run_localization(loc_log, cfg, prebuilt)
+    _, traj, _, _ = run_localization(loc_log, cfg, prebuilt)
     gt = loc_log["gt_poses"]
     ate = float(ate_rmse(traj, gt, align=False))
     odom_ate = float(ate_rmse(loc_log["odom"], gt, align=False))
     assert ate < odom_ate, (ate, odom_ate)
+
+
+def test_recovery_after_kidnap():
+    """Odometry that silently lies about a teleport (two traversals spliced
+    with a continuous odom frame) collapses the match scores; recovery
+    relocalizes on the whole map and tracking resumes near ground truth."""
+    world = SynthWorld.box_rooms(20.0)
+    map_log = simulate_log(
+        world,
+        np.array([[3, 3], [3, 8], [8, 8], [12, 3.5], [16, 3.5],
+                  [17, 9], [12, 14], [9, 17], [4, 16]], float),
+        CFG.sensor, step=0.15, odom_noise_xy=0.005, odom_noise_theta=0.002,
+        seed=1,
+    )
+    state, _, _ = run_frontend(map_log, CFG)
+    prebuilt = np.asarray(state.logodds)
+
+    a = simulate_log(world, np.array([[3, 3], [3, 8], [7, 8]], float),
+                     CFG.sensor, step=0.15, seed=3)
+    b = simulate_log(world, np.array([[16, 3.5], [16.5, 8.5], [12.5, 13.5]], float),
+                     CFG.sensor, step=0.15, seed=4)
+    # splice: gt teleports, but odometry continues smoothly (the lie)
+    Ta = len(a["odom"])
+    shift = a["odom"][-1] - b["odom"][0]
+    odom_b = b["odom"] + shift[None, :]
+    log = {
+        "odom": np.concatenate([a["odom"], odom_b]),
+        "ranges": np.concatenate([a["ranges"], b["ranges"]]),
+        "gt_poses": np.concatenate([a["gt_poses"], b["gt_poses"]]),
+    }
+
+    _, traj, scores, events = run_localization(
+        log, CFG, prebuilt, recover=True,
+    )
+    assert len(events) >= 1, "recovery never fired"
+    # after the last recovery, tracking must be back near ground truth
+    k0 = events[-1]["scan"] + 1
+    tail_err = np.hypot(
+        traj[k0:, 0] - log["gt_poses"][k0:, 0],
+        traj[k0:, 1] - log["gt_poses"][k0:, 1],
+    )
+    assert np.median(tail_err) < 0.5, float(np.median(tail_err))
