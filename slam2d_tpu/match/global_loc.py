@@ -61,10 +61,10 @@ def _endpoint_image(pts, valid, theta, H, W, resolution):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gcfg", "mcfg", "sensor", "n_theta", "theta_chunk")
+    jax.jit, static_argnames=("gcfg", "sensor", "n_theta", "theta_chunk")
 )
 def _global_sweep(
-    S, ranges, gcfg: GridConfig, mcfg: MatcherConfig, sensor: SensorConfig,
+    S, ranges, gcfg: GridConfig, sensor: SensorConfig,
     n_theta: int, theta_chunk: int,
 ):
     H, W = S.shape
@@ -123,7 +123,7 @@ def global_localize(
         else search_space
     )
     coarse, score = _global_sweep(
-        S, ranges, gcfg, mcfg, sensor, n_theta, theta_chunk
+        S, ranges, gcfg, sensor, n_theta, theta_chunk
     )
     if not refine:
         return coarse, score

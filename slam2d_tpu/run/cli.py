@@ -123,6 +123,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _median_score(scores) -> float:
+    """Median of MATCHED scores; -1.0 when no scan ever matched (a NaN
+    here would make the metrics line invalid JSON)."""
+    m = np.asarray(scores)
+    m = m[m >= 0.0]
+    return float(np.median(m)) if len(m) else -1.0
+
+
 def load_any_log(path: str, sensor_cfg):
     from slam2d_tpu.data import load_carmen_log, load_json_log
     from slam2d_tpu.data.synth import default_log
@@ -190,7 +198,8 @@ def main(argv=None) -> int:
 
         state, traj, scores = run_tiled_frontend(log, cfg, tile_cfg())
         grid = state.grid.tiles
-        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+        tiled_grid = state.grid
+        extra["median_score"] = _median_score(scores)
         extra["tiled"] = True
     elif args.mode == "localize":
         import dataclasses as _dc
@@ -201,6 +210,22 @@ def main(argv=None) -> int:
             raise SystemExit("--mode localize requires --map")
         if args.map.endswith(".npy"):
             prebuilt = np.load(args.map)
+            sidecar = os.path.join(os.path.dirname(args.map), "grid.json")
+            if os.path.exists(sidecar):
+                # geometry the map was BUILT with (see the --out writer):
+                # without it the grid would anchor at the new log's
+                # odometry centroid and every cell would be misregistered
+                with open(sidecar) as f:
+                    gj = json.load(f)
+                cfg = dataclasses.replace(
+                    cfg, grid=dataclasses.replace(cfg.grid, **gj)
+                )
+            elif args.center is None:
+                raise SystemExit(
+                    "--map *.npy without a grid.json sidecar: pass the "
+                    "--center/--resolution/--grid-size the map was built "
+                    "with (or localize against the map.yaml instead)"
+                )
             gcfg = cfg.grid
             if prebuilt.shape != (gcfg.height, gcfg.width):
                 raise SystemExit(
@@ -229,7 +254,7 @@ def main(argv=None) -> int:
         if events:
             extra["recoveries"] = events
         grid = state.logodds
-        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+        extra["median_score"] = _median_score(scores)
         extra["localized_against"] = args.map
     elif args.mode == "frontend":
         from slam2d_tpu.run.frontend import frontend_init, run_frontend
@@ -247,7 +272,7 @@ def main(argv=None) -> int:
             save_state(args.save_state, state)
             extra["saved_state"] = args.save_state
         grid = state.logodds
-        extra["median_score"] = float(np.median(scores[scores >= 0.0]))
+        extra["median_score"] = _median_score(scores)
     elif args.mode == "fastslam":
         from slam2d_tpu.config import PFConfig
         from slam2d_tpu.run.fastslam_run import run_fastslam
@@ -333,6 +358,7 @@ def main(argv=None) -> int:
                 extra["saved_state"] = args.save_state
         traj, grid = res.traj, res.grid
         if args.tiled:
+            tiled_grid = res.grid
             grid = res.grid.tiles   # [N, th, tw] slot pool for .npy export
         extra["n_loops"] = res.n_loops
         extra["n_keyframes"] = len(res.kf_poses)
@@ -358,12 +384,29 @@ def main(argv=None) -> int:
         os.makedirs(args.out, exist_ok=True)
         np.save(os.path.join(args.out, "trajectory.npy"), traj)
         np.save(os.path.join(args.out, "map_logodds.npy"), np.asarray(grid))
+        # grid geometry sidecar: a later `--mode localize --map
+        # map_logodds.npy` must interpret the cells at the SAME world
+        # coordinates the map was built with (the CLI otherwise anchors
+        # the grid at the NEW log's odometry centroid)
+        gj = {
+            "height": cfg.grid.height, "width": cfg.grid.width,
+            "resolution": cfg.grid.resolution,
+            "center_x": cfg.grid.center_x, "center_y": cfg.grid.center_y,
+        }
+        with open(os.path.join(args.out, "grid.json"), "w") as f:
+            json.dump(gj, f)
+        # ROS map_server interchange (PGM + YAML): lets rviz / map_server /
+        # AMCL consume the built map directly
         if np.asarray(grid).ndim == 2:
-            # ROS map_server interchange (PGM + YAML): lets rviz /
-            # map_server / AMCL consume the built map directly
             from slam2d_tpu.viz.ros_map import save_ros_map
 
             save_ros_map(os.path.join(args.out, "map"), grid, cfg.grid)
+        elif args.tiled:
+            from slam2d_tpu.viz.ros_map import save_tiled_ros_map
+
+            save_tiled_ros_map(
+                os.path.join(args.out, "map"), tiled_grid, tile_cfg()
+            )
         if args.save_viz and np.asarray(grid).ndim == 2:
             from slam2d_tpu.viz import save_map_png
 

@@ -191,6 +191,21 @@ def make_chunk_fn(cfg: FrontendConfig):
     return chunk_fn
 
 
+def _chunk_iter(odom: np.ndarray, ranges: np.ndarray, K: int):
+    """Yield (o [K,3], r [K,B], n_here) with the tail chunk padded by
+    repeating the last record (identical repeated odometry is a no-op
+    motion; re-integrating the same scan at the same pose is harmless)."""
+    T = len(odom)
+    for s in range(0, T, K):
+        o = odom[s : s + K]
+        r = ranges[s : s + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+        yield o, r, min(K, T - s)
+
+
 def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = None):
     """Run the full frontend over a host-side log dict {odom, ranges}.
 
@@ -210,13 +225,7 @@ def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = N
     chunk_fn = make_chunk_fn(cfg)
 
     trajs, scores = [], []
-    for s in range(0, T, K):
-        o = odom[s : s + K]
-        r = ranges[s : s + K]
-        if len(o) < K:
-            pad = K - len(o)
-            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
-            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+    for o, r, _ in _chunk_iter(odom, ranges, K):
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
         # keep outputs on device: a blocking fetch PER CHUNK serializes the
         # host loop on transfer latency (costly over a remote-TPU tunnel);
@@ -262,16 +271,21 @@ def run_localization(
     ranges = np.asarray(log["ranges"], np.float32)
     T = len(odom)
     K = cfg.chunk
-    grid = jnp.asarray(logodds, jnp.float32)
+    # copy: the chunk runner donates its input state, and jnp.asarray of a
+    # float32 device array is a no-copy alias — donating THAT would delete
+    # the caller's own map buffer
+    grid = jnp.array(logodds, jnp.float32)
     assert grid.shape == (cfg.grid.height, cfg.grid.width), (
         grid.shape, (cfg.grid.height, cfg.grid.width))
     S = build_search_space(grid, cfg.matcher, cfg.grid.resolution)
-    state = frontend_init(
-        cfg,
-        start_pose=odom[0] if start_pose is None else start_pose,
-        start_odom=odom[0],
+    pose = jnp.asarray(
+        odom[0] if start_pose is None else start_pose, jnp.float32
     )
-    state = state._replace(logodds=grid, search_space=S)
+    # built directly — frontend_init would blur a throwaway zero grid
+    state = FrontendState(
+        grid, S, pose, jnp.asarray(odom[0]) + 0.0, jnp.float32(0.0),
+        pose + 0.0, jnp.zeros(2, jnp.float32),
+    )
     if not recover:
         st, traj, score = run_frontend(log, cfg, state=state)
         return st, traj, score, []
@@ -281,21 +295,16 @@ def run_localization(
     chunk_fn = make_chunk_fn(cfg)
     events: list = []
     trajs, scores = [], []
-    for s in range(0, T, K):
-        o = odom[s : s + K]
-        r = ranges[s : s + K]
-        if len(o) < K:
-            pad = K - len(o)
-            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
-            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+    done = 0
+    for o, r, n_here in _chunk_iter(odom, ranges, K):
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
         trajs.append(tr)
         scores.append(sc)
-        n_here = min(K, T - s)
+        done += n_here
         sc_h = np.asarray(sc)[:n_here]
         matched = sc_h[sc_h >= 0.0]
         if len(matched) >= 3 and float(np.median(matched)) < recover_score:
-            last = s + n_here - 1
+            last = done - 1
             # read the map/field from the LIVE state: chunk_fn donates its
             # input state, so the originals were deleted on the first call
             pose0, s0 = global_localize(

@@ -66,10 +66,12 @@ def save_tiled_ros_map(path_stem: str, tiled_grid, tcfg) -> tuple[str, str]:
 def load_ros_map(yaml_path: str) -> tuple[np.ndarray, GridConfig]:
     """Read back a map_server pair into (logodds [H, W], GridConfig).
 
-    Trinary inverse of save_ros_map: occupied cells get +4 log-odds, free
-    cells -4, unknown 0 — saturated evidence consistent with the export
-    thresholds. Used for localization against a prebuilt map and for
-    round-trip tests."""
+    Honors the YAML's `negate` and occupancy thresholds and PGM comment
+    lines, so genuine ROS map_saver output loads — not just this module's
+    own files. Trinary inverse of save_ros_map: occupied cells get +4
+    log-odds, free cells -4, unknown 0 — saturated evidence consistent
+    with the thresholds. Used for localization against a prebuilt map and
+    for round-trip tests."""
     meta: dict[str, str] = {}
     with open(yaml_path) as f:
         for line in f:
@@ -78,19 +80,44 @@ def load_ros_map(yaml_path: str) -> tuple[np.ndarray, GridConfig]:
                 meta[k.strip()] = v.strip()
     res = float(meta["resolution"])
     origin = [float(x) for x in meta["origin"].strip("[]").split(",")[:2]]
+    negate = int(meta.get("negate", "0"))
+    occ_th = float(meta.get("occupied_thresh", OCCUPIED_THRESH))
+    free_th = float(meta.get("free_thresh", FREE_THRESH))
     img_path = meta["image"]
     if "/" not in img_path and "/" in yaml_path:
         img_path = yaml_path.rsplit("/", 1)[0] + "/" + img_path
     with open(img_path, "rb") as f:
         data = f.read()
-    # P5 header: magic, dims, maxval, then binary payload
-    parts = data.split(b"\n", 3)
-    assert parts[0] == b"P5", "not a binary PGM"
-    W, H = (int(t) for t in parts[1].split())
-    img = np.frombuffer(parts[3][-H * W :], np.uint8).reshape(H, W)[::-1]
+    # P5 header: magic, width, height, maxval as whitespace-separated
+    # tokens, '#'-comment lines allowed anywhere in the header; ONE
+    # whitespace byte after maxval, then exactly H*W raster bytes
+    # (trailing bytes are padding some writers emit — never read them).
+    pos = 0
+    tokens = []
+    while len(tokens) < 4:
+        if data[pos : pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        if data[pos : pos + 1].isspace():
+            pos += 1
+            continue
+        end = pos
+        while not data[end : end + 1].isspace():
+            end += 1
+        tokens.append(data[pos:end])
+        pos = end
+    assert tokens[0] == b"P5", "not a binary PGM"
+    W, H = int(tokens[1]), int(tokens[2])
+    maxval = int(tokens[3])
+    pos += 1                                   # the single post-maxval byte
+    img = np.frombuffer(data[pos : pos + H * W], np.uint8).reshape(H, W)[::-1]
+    # map_server semantics: p(occ) = (maxval - v)/maxval, inverted by negate
+    pocc = img.astype(np.float32) / maxval
+    if not negate:
+        pocc = 1.0 - pocc
     logodds = np.zeros((H, W), np.float32)
-    logodds[img == 0] = 4.0
-    logodds[img == 254] = -4.0
+    logodds[pocc > occ_th] = 4.0
+    logodds[pocc < free_th] = -4.0
     gcfg = GridConfig(
         height=H, width=W, resolution=res,
         center_x=origin[0] + (W // 2) * res,

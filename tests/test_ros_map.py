@@ -44,3 +44,44 @@ def test_tiled_export(tmp_path):
     back, gcfg = load_ros_map(yaml)
     assert back.shape == (64, 128)    # two stitched tiles
     assert (back > 0.5).sum() == 1
+
+
+def test_load_real_ros_pgm_with_comment_and_trailing_newline(tmp_path):
+    """Genuine ROS map_saver output has a '# CREATOR' comment line in the
+    PGM header, and rasters that passed through text tools often carry a
+    trailing newline — both must load byte-correctly."""
+    H, W = 4, 8
+    img = np.arange(H * W, dtype=np.uint8).reshape(H, W)
+    pgm = tmp_path / "real.pgm"
+    with open(pgm, "wb") as f:
+        f.write(b"P5\n# CREATOR: map_saver.cpp 0.050 m/pix\n")
+        f.write(f"{W} {H}\n255\n".encode())
+        f.write(img.tobytes())
+        f.write(b"\n")                       # trailing padding byte
+    with open(tmp_path / "real.yaml", "w") as f:
+        f.write(f"image: real.pgm\nresolution: 0.05\n"
+                "origin: [0.0, 0.0, 0.0]\nnegate: 0\n"
+                "occupied_thresh: 0.65\nfree_thresh: 0.196\n")
+    lo, gcfg = load_ros_map(str(tmp_path / "real.yaml"))
+    assert lo.shape == (H, W)
+    # value 0 (top-left of the raster = row H-1 after the flip) is occupied
+    assert lo[H - 1, 0] > 0.5
+    # bright values are free; mid-grey unknown
+    assert (lo < -0.5).sum() == 0            # all values <= 31: none free
+    assert lo[0, 0] == 0.0 or lo[0, 0] > 0.5
+
+
+def test_load_negated_map(tmp_path):
+    """negate: 1 inverts pixel semantics (white = occupied)."""
+    H, W = 2, 4
+    img = np.full((H, W), 205, np.uint8)
+    img[0, 0] = 254                          # white: occupied under negate
+    img[1, 1] = 0                            # black: free under negate
+    with open(tmp_path / "n.pgm", "wb") as f:
+        f.write(f"P5\n{W} {H}\n255\n".encode() + img.tobytes())
+    with open(tmp_path / "n.yaml", "w") as f:
+        f.write("image: n.pgm\nresolution: 0.1\norigin: [0, 0, 0]\n"
+                "negate: 1\noccupied_thresh: 0.65\nfree_thresh: 0.196\n")
+    lo, _ = load_ros_map(str(tmp_path / "n.yaml"))
+    assert lo[H - 1 - 0, 0] > 0.5            # the white pixel, flipped
+    assert lo[H - 1 - 1, 1] < -0.5           # the black pixel
