@@ -85,3 +85,50 @@ def test_fastslam_all_max_range_stays_finite():
     _, traj, n_eff, scores = run_fastslam(log, CFG, pf_cfg)
     assert np.isfinite(np.asarray(traj)).all()
     assert np.isfinite(np.asarray(n_eff)).all()
+
+
+def test_localization_robustness_probes():
+    """Localize mode through the same probes: odd log length, recovery
+    enabled on a log whose scans go all-max-range mid-way (scores drop to
+    the no-match sentinel; recovery must not fire on unmatched chunks or
+    crash on empty matched sets), and a single-scan log."""
+    from slam2d_tpu.run.frontend import run_localization
+
+    state, _, _ = run_frontend(_log(), CFG)
+    prebuilt = np.asarray(state.logodds)
+
+    # odd length
+    log = _log(n=2 * CFG.chunk + 3)
+    _, traj, scores, events = run_localization(log, CFG, prebuilt, recover=True)
+    assert traj.shape == (len(log["odom"]), 3)
+    assert np.isfinite(traj).all()
+
+    # all-max-range scans mid-log: matcher sees no valid beams
+    log = _log(n=3 * CFG.chunk)
+    log["ranges"][CFG.chunk : 2 * CFG.chunk] = CFG.sensor.max_range
+    _, traj, scores, events = run_localization(log, CFG, prebuilt, recover=True)
+    assert np.isfinite(traj).all()
+
+    # single scan
+    log = _log(n=1)
+    _, traj, scores, events = run_localization(log, CFG, prebuilt, recover=True)
+    assert traj.shape == (1, 3) and np.isfinite(traj).all()
+    assert events == []
+
+
+def test_global_localize_degenerate_scans():
+    """Whole-map relocalization must stay finite on a hitless scan (all
+    max-range: zero valid beams) and on a NaN-polluted scan."""
+    from slam2d_tpu.match.global_loc import global_localize
+
+    state, _, _ = run_frontend(_log(), CFG)
+    for r in (
+        np.full(CFG.sensor.n_beams, CFG.sensor.max_range, np.float32),
+        np.full(CFG.sensor.n_beams, np.nan, np.float32),
+    ):
+        pose, score = global_localize(
+            state.logodds, r, CFG.grid, CFG.matcher, CFG.sensor,
+            n_theta=8, theta_chunk=4,
+        )
+        assert np.isfinite(np.asarray(pose)).all()
+        assert np.isfinite(float(score))
