@@ -1,0 +1,128 @@
+"""One-command REAL-CHIP validation: runs every pipeline end-to-end on
+the TPU with its TPU-native kernel dispatches (mxu scoring, Pallas dense
+update, shared-anchor refinement, fused field kernel, FFT relocalization)
+and asserts accuracy — the CPU test suite exercises the same code paths
+but resolves the "auto" dispatches differently.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_smoke.py
+Exit code 0 and a PASS line per stage on success. ~5-10 min of remote
+compiles on first run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+
+from slam2d_tpu.config import (
+    FrontendConfig, GraphConfig, GridConfig, MatcherConfig, PFConfig,
+    SensorConfig,
+)
+from slam2d_tpu.data.synth import SynthWorld, simulate_log
+from slam2d_tpu.metrics import ate_rmse
+
+
+def check(name, ok, detail):
+    print(json.dumps({"stage": name, "pass": bool(ok), **detail}), flush=True)
+    return bool(ok)
+
+
+def main() -> int:
+    print(f"backend={jax.default_backend()}", flush=True)
+    sensor = SensorConfig(n_beams=180, max_range=12.0)
+    cfg = FrontendConfig(
+        sensor=sensor,
+        # production resolution: the matcher's accuracy floor is a
+        # fraction of a cell, and at 0.1 m cells it loses to mildly
+        # drifting odometry (verified identical on CPU — not a TPU
+        # kernel gap); 0.05 m is what bench.py and the ledger use
+        grid=GridConfig(height=512, width=512, resolution=0.05,
+                        ray_samples=256, center_x=10.0, center_y=10.0),
+        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
+        chunk=32, bootstrap_dist=2.0,
+        match_min_motion=0.25,     # fine-res gate tuning, as in bench.py
+    )
+    world = SynthWorld.box_rooms(20.0)
+    # the bench_ate regime: default per-step noise over a long tour, so
+    # odometry drifts ~0.4 m while matching stays accurate. Heavier
+    # per-step noise (>~0.1 m per meter travelled) is beyond ANY
+    # single-hypothesis tracker — measured identical on CPU, so don't
+    # read a hard scenario as a TPU-kernel gap.
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 4.0]]
+    )
+    log = simulate_log(world, wp, sensor, step=0.05, seed=0)
+    gt = log["gt_poses"]
+    odom_ate = float(ate_rmse(log["odom"], gt, align=False))
+    ok = True
+
+    # 1. frontend (mxu scoring, sparse-mxu update, cached blurred field)
+    from slam2d_tpu.run.frontend import run_frontend, run_localization
+
+    state, traj, scores = run_frontend(log, cfg)
+    ate = float(ate_rmse(traj, gt, align=False))
+    ok &= check("frontend", ate < odom_ate and np.isfinite(traj).all(),
+                {"ate": round(ate, 3), "odom_ate": round(odom_ate, 3)})
+
+    # 2. FastSLAM-64 (shared-anchor refinement, Pallas dense update,
+    #    fused field kernel, bf16 maps)
+    from slam2d_tpu.run.fastslam_run import run_fastslam
+
+    pf = PFConfig(n_particles=64, map_dtype="bfloat16")
+    _, ptraj, n_eff, _ = run_fastslam(log, cfg, pf, seed=0)
+    pf_ate = float(ate_rmse(ptraj, gt, align=False))
+    ok &= check("fastslam64_bf16",
+                pf_ate < odom_ate and np.isfinite(ptraj).all(),
+                {"ate": round(pf_ate, 3), "min_n_eff":
+                 round(float(np.min(n_eff)), 2)})
+
+    # 3. global relocalization (FFT sweep) + localization tracking
+    from slam2d_tpu.match.global_loc import global_localize
+
+    true = np.array([9.0, 7.0, 1.3], np.float32)
+    r0 = np.asarray(world.raycast(true, np.asarray(sensor.beam_angles()),
+                                  sensor.max_range), np.float32)
+    est, sc = global_localize(state.logodds, r0, cfg.grid, cfg.matcher,
+                              sensor)
+    est = np.asarray(est)
+    err = float(np.hypot(est[0] - true[0], est[1] - true[1]))
+    ok &= check("global_relocalize", err < 0.3 and float(sc) > 0.4,
+                {"err_xy": round(err, 3), "score": round(float(sc), 3)})
+
+    _, ltraj, _, _ = run_localization(log, cfg, np.asarray(state.logodds))
+    late = float(ate_rmse(ltraj, gt, align=False))
+    ok &= check("localize", late < odom_ate, {"ate": round(late, 3)})
+
+    # 4. full SLAM with loop closure (fused async attempts, Schur)
+    from slam2d_tpu.run.full_slam import run_full_slam
+
+    gcfg = GraphConfig(max_nodes=256, max_edges=1024, keyframe_dist=0.8,
+                       loop_min_gap=15, loop_radius=3.0,
+                       loop_score_accept=0.35, loop_max_correction_xy=2.5,
+                       gn_iters=10)
+    wp2 = np.concatenate([wp[:6], wp[:6][::-1][1:]])   # out and back: loops
+    log2 = simulate_log(world, wp2, sensor, step=0.15,
+                        odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5)
+    odom_kf_ate = None
+    res = run_full_slam(log2, cfg, gcfg, optimizer="schur")
+    kf_idx = np.asarray(res.kf_scan_idx, int)
+    kf_gt = log2["gt_poses"][kf_idx]
+    kf_ate = float(ate_rmse(res.kf_poses, kf_gt, align=False))
+    odom_kf_ate = float(ate_rmse(log2["odom"][kf_idx], kf_gt, align=False))
+    ok &= check("full_slam_schur",
+                res.n_loops >= 1 and kf_ate < odom_kf_ate
+                and np.isfinite(res.traj).all(),
+                {"n_loops": int(res.n_loops), "kf_ate": round(kf_ate, 3),
+                 "odom_kf_ate": round(odom_kf_ate, 3)})
+
+    print("TPU SMOKE:", "PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,9 +15,10 @@ valid-region extraction is a roll to offset 0 + an aligned [0:H, 0:W]
 slice (Mosaic's unaligned-slice paths are slow — same trick as
 ops/pallas_corr.py).
 
-Whole-array blocks cap the usable size at VMEM (~16 MB): callers
-size-gate (match/correlative.py dispatches here for windows up to 768^2
-on TPU and keeps the XLA path for the rare full-map builds).
+Whole-array blocks cap the usable size at Mosaic's SCOPED VMEM stack
+(16 MB): a 512^2 window measured 20.2M scoped and OOMed on chip, so
+callers gate at <= 448^2 (pf/shared_refine.py) and keep the XLA
+shift-and-add chain for larger windows / full-map builds.
 """
 
 from __future__ import annotations

@@ -234,7 +234,10 @@ def shared_refine(
         )
         return raw, cell_center_world(centers, gcfg)
 
-    blur_impl = "pallas" if (win <= 768 and not chunked) else "xla"
+    # VMEM cap for the whole-array-resident blur kernel: Mosaic's scoped
+    # stack OOMs at 512-cell windows (20.2M vs the 16M limit, measured on
+    # chip); 448 keeps ~30% headroom. Larger windows keep the XLA chain.
+    blur_impl = "pallas" if (win <= 448 and not chunked) else "xla"
 
     def chunk_scores(args):
         grids_c, priors_c = args
