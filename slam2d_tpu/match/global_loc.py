@@ -92,12 +92,26 @@ def _global_sweep(
     ti, d = jnp.divmod(flat, H * W)
     dr, dc = jnp.divmod(d, W)
     best = corr.reshape(-1)[flat]
+    # peak-uniqueness margin: best minus the best OUTSIDE a ~1 m
+    # translation box around the winner (any heading). Perceptual
+    # aliasing (look-alike rooms) shows up as a second near-equal peak
+    # far away — margin ~0 — while a unique lock has margin >> 0.
+    ex = max(int(round(1.0 / gcfg.resolution)), 2)
+    over_th = jnp.max(corr, axis=0)                       # [H, W]
+    rr = jnp.arange(H, dtype=jnp.int32)
+    cc = jnp.arange(W, dtype=jnp.int32)
+    near = (
+        (jnp.abs(rr - dr)[:, None] <= ex)
+        & (jnp.abs(cc - dc)[None, :] <= ex)
+    )
+    second = jnp.max(jnp.where(near, -jnp.inf, over_th))
+    margin = best - jnp.maximum(second, -1e9)
     # robot cell v = displacement d + center (see module docstring)
     vr = jnp.mod(dr + H // 2, H)
     vc = jnp.mod(dc + W // 2, W)
     x = gcfg.origin_x + (vc.astype(jnp.float32) + 0.5) * gcfg.resolution
     y = gcfg.origin_y + (vr.astype(jnp.float32) + 0.5) * gcfg.resolution
-    return jnp.stack([x, y, thetas[ti]]), best
+    return jnp.stack([x, y, thetas[ti]]), best, margin
 
 
 def global_localize(
@@ -110,8 +124,13 @@ def global_localize(
     theta_chunk: int = 8,
     search_space=None,
     refine: bool = True,
+    return_margin: bool = False,
 ):
-    """Returns (pose [3], score): the best whole-map pose for one scan.
+    """Returns (pose [3], score) — or (pose, score, margin) with
+    return_margin=True, where margin is the peak-uniqueness diagnostic
+    (best score minus the best score outside ~1 m of the winner, any
+    heading; near-zero under perceptual aliasing). Gate on it before
+    trusting a relocalization in self-similar environments.
 
     `n_theta` full-circle headings are FFT-swept; the winner seeds a
     match_scan refinement over +-1 theta step and a few cells (sub-cell /
@@ -122,11 +141,11 @@ def global_localize(
         if search_space is None
         else search_space
     )
-    coarse, score = _global_sweep(
+    coarse, score, margin = _global_sweep(
         S, ranges, gcfg, sensor, n_theta, theta_chunk
     )
     if not refine:
-        return coarse, score
+        return (coarse, score, margin) if return_margin else (coarse, score)
     import dataclasses
 
     step = 2.0 * np.pi / n_theta
@@ -139,6 +158,7 @@ def global_localize(
         prior_theta_weight=0.0,
         min_score=0.0,
     )
-    return match_scan(
+    pose, score = match_scan(
         logodds, ranges, coarse, gcfg, fine_mcfg, sensor, search_space=S
     )
+    return (pose, score, margin) if return_margin else (pose, score)

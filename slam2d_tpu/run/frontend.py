@@ -247,6 +247,8 @@ def run_localization(
     recover: bool = False,
     recover_score: float = 0.25,
     recover_accept: float = 0.5,
+    recover_margin: float = 0.0,
+    recover_consistent: bool = True,
 ):
     """Pose tracking against a FIXED prebuilt map (no bootstrap, no map
     updates): the AMCL-style localization mode. `logodds` is any [H, W]
@@ -257,8 +259,15 @@ def run_localization(
     With recover=True, a chunk whose matched scores collapse below
     `recover_score` (median; tracking lost — kidnapped robot, bad
     odometry splice) triggers whole-map FFT relocalization
-    (match/global_loc.py) on the chunk's last scan; the pose resets if
-    the global peak scores >= recover_accept. Costs one score fetch per
+    (match/global_loc.py) on the chunk's last scan. A candidate commits
+    when it scores >= recover_accept, clears the peak-uniqueness margin
+    `recover_margin` (0 disables — correct locks in self-similar worlds
+    can have margins as low as ~0.01, overlapping aliased ones), and —
+    with recover_consistent (default) — AGREES within ~1 m / 0.5 rad
+    with the PREVIOUS chunk's candidate transported by the odometry
+    between them. Perceptual aliasing (a look-alike room elsewhere)
+    rarely survives that test: the impostor match shifts differently
+    under the robot's real motion. One extra chunk of latency. Costs one score fetch per
     chunk (localization is interactive, not a throughput pipeline).
 
     Returns (final_state, traj [T, 3], scores [T], events) — events is a
@@ -291,34 +300,56 @@ def run_localization(
         return st, traj, score, []
 
     from slam2d_tpu.match.global_loc import global_localize
+    from slam2d_tpu.run.frontend_tiled import _np_between, _np_compose
 
     chunk_fn = make_chunk_fn(cfg)
     events: list = []
     trajs, scores = [], []
     done = 0
+    cand = None          # (pose_np, scan_index) from the previous trigger
     for o, r, n_here in _chunk_iter(odom, ranges, K):
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
         trajs.append(tr)
         scores.append(sc)
         done += n_here
         sc_h = np.asarray(sc)[:n_here]
-        matched = sc_h[sc_h >= 0.0]
+        # skipped (no-motion) scans return EXACTLY -1.0; genuinely matched
+        # scans can score negative too (endpoints in known-free space),
+        # and those are precisely the collapsed matches to detect
+        matched = sc_h[sc_h != -1.0]
         if len(matched) >= 3 and float(np.median(matched)) < recover_score:
             last = done - 1
             # read the map/field from the LIVE state: chunk_fn donates its
             # input state, so the originals were deleted on the first call
-            pose0, s0 = global_localize(
+            pose0, s0, m0 = global_localize(
                 state.logodds, jnp.asarray(ranges[last]), cfg.grid,
                 cfg.matcher, cfg.sensor, search_space=state.search_space,
+                return_margin=True,
             )
-            s0 = float(s0)
-            if s0 >= recover_accept:
-                pose0 = np.asarray(pose0)
+            s0, m0 = float(s0), float(m0)
+            pose0 = np.asarray(pose0, np.float32)
+            gated = s0 >= recover_accept and m0 >= recover_margin
+            agreed = not recover_consistent
+            if gated and recover_consistent and cand is not None:
+                # transport the previous candidate by the odometry
+                # between the two trigger scans and compare
+                dprev = _np_between(odom[cand[1]], odom[last])
+                expect = _np_compose(cand[0], dprev)
+                dd = _np_between(expect, pose0)
+                agreed = (
+                    float(np.hypot(dd[0], dd[1])) <= 1.0
+                    and abs(float(dd[2])) <= 0.5
+                )
+            if gated and agreed:
                 state = state._replace(pose=jnp.asarray(pose0))
                 events.append({
                     "scan": last, "score": round(s0, 4),
+                    "margin": round(m0, 4),
                     "pose": [round(float(v), 4) for v in pose0],
                 })
+                cand = None
+            else:
+                cand = (pose0, last) if gated else None
     trajs, scores = jax.device_get((trajs, scores))
     traj = np.concatenate(trajs)[:T]
     score = np.concatenate(scores)[:T]
