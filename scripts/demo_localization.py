@@ -48,10 +48,10 @@ def main():
     b = simulate_log(world, np.array([[16, 3.5], [16.5, 8.5], [12.5, 13.5]],
                                      float),
                      CFG.sensor, step=0.15, seed=4)
-    from tests.test_localize import _splice_odom
+    from slam2d_tpu.data.synth import splice_odom
 
     log = {
-        "odom": np.concatenate([a["odom"], _splice_odom(a["odom"], b["odom"])]),
+        "odom": np.concatenate([a["odom"], splice_odom(a["odom"], b["odom"])]),
         "ranges": np.concatenate([a["ranges"], b["ranges"]]),
         "gt_poses": np.concatenate([a["gt_poses"], b["gt_poses"]]),
     }

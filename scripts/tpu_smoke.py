@@ -108,7 +108,6 @@ def main() -> int:
     wp2 = np.concatenate([wp[:6], wp[:6][::-1][1:]])   # out and back: loops
     log2 = simulate_log(world, wp2, sensor, step=0.15,
                         odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5)
-    odom_kf_ate = None
     res = run_full_slam(log2, cfg, gcfg, optimizer="schur")
     kf_idx = np.asarray(res.kf_scan_idx, int)
     kf_gt = log2["gt_poses"][kf_idx]

@@ -201,3 +201,18 @@ def default_log(sensor: SensorConfig | None = None, step: float = 0.1, seed: int
         ]
     )
     return world, simulate_log(world, wp, sensor, step=step, seed=seed)
+
+
+def splice_odom(a_odom: np.ndarray, b_odom: np.ndarray) -> np.ndarray:
+    """Continue b's odometry RIGIDLY from a's last pose — the
+    kidnapped-robot simulation splice: ground truth teleports between the
+    two traversals while the odometry frame lies smoothly onward. A
+    constant offset would NOT do this (adding a theta offset without
+    rotating the displacements corrupts b's own motion deltas)."""
+    from slam2d_tpu.run.frontend_tiled import _np_between, _np_compose
+
+    anchor = np.asarray(a_odom[-1], np.float32)
+    b0 = np.asarray(b_odom[0], np.float32)
+    return np.stack(
+        [_np_compose(anchor, _np_between(b0, bk)) for bk in b_odom]
+    ).astype(np.float32)

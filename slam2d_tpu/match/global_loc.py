@@ -42,6 +42,11 @@ def _endpoint_image(pts, valid, theta, H, W, resolution):
     c, s = jnp.cos(theta), jnp.sin(theta)
     ex = (c * pts[:, 0] - s * pts[:, 1]) / resolution + (W // 2)
     ey = (s * pts[:, 0] + c * pts[:, 1]) / resolution + (H // 2)
+    # invalid beams carry NaN coordinates; their weight is 0 but
+    # 0 * NaN = NaN would poison the whole splat (same guard as
+    # correlative.score_offsets)
+    ex = jnp.where(valid, ex, 0.0)
+    ey = jnp.where(valid, ey, 0.0)
     x0 = jnp.floor(ex).astype(jnp.int32)
     y0 = jnp.floor(ey).astype(jnp.int32)
     fx = ex - x0.astype(jnp.float32)
@@ -100,9 +105,13 @@ def _global_sweep(
     over_th = jnp.max(corr, axis=0)                       # [H, W]
     rr = jnp.arange(H, dtype=jnp.int32)
     cc = jnp.arange(W, dtype=jnp.int32)
+    # CIRCULAR distance: the FFT displacement domain wraps, and a winner
+    # near displacement 0/H has its own shoulder at row H-1
+    ar = jnp.abs(rr - dr)
+    ac = jnp.abs(cc - dc)
     near = (
-        (jnp.abs(rr - dr)[:, None] <= ex)
-        & (jnp.abs(cc - dc)[None, :] <= ex)
+        (jnp.minimum(ar, H - ar)[:, None] <= ex)
+        & (jnp.minimum(ac, W - ac)[None, :] <= ex)
     )
     second = jnp.max(jnp.where(near, -jnp.inf, over_th))
     margin = best - jnp.maximum(second, -1e9)

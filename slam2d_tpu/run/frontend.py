@@ -271,8 +271,8 @@ def run_localization(
     chunk (localization is interactive, not a throughput pipeline).
 
     Returns (final_state, traj [T, 3], scores [T], events) — events is a
-    list of {"scan", "score", "pose"} dicts, one per accepted recovery
-    (always [] when recover=False)."""
+    list of {"scan", "score", "margin", "pose"} dicts, one per accepted
+    recovery (always [] when recover=False)."""
     import dataclasses
 
     cfg = dataclasses.replace(cfg, localize_only=True)
@@ -350,6 +350,12 @@ def run_localization(
                 cand = None
             else:
                 cand = (pose0, last) if gated else None
+        else:
+            # healthy chunk: expire any pending candidate so consistency
+            # only ever compares CONSECUTIVE lost chunks — a stale
+            # candidate transported through hundreds of scans (possibly
+            # across a second kidnap's odometry lie) is meaningless
+            cand = None
     trajs, scores = jax.device_get((trajs, scores))
     traj = np.concatenate(trajs)[:T]
     score = np.concatenate(scores)[:T]

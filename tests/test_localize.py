@@ -4,7 +4,7 @@
 import numpy as np
 
 from slam2d_tpu.config import FrontendConfig, GridConfig, MatcherConfig, SensorConfig
-from slam2d_tpu.data.synth import SynthWorld, simulate_log
+from slam2d_tpu.data.synth import SynthWorld, simulate_log, splice_odom
 from slam2d_tpu.metrics import ate_rmse
 from slam2d_tpu.run.frontend import run_frontend, run_localization
 
@@ -63,25 +63,6 @@ def test_localization_from_ros_map(tmp_path):
 
 
 
-def _splice_odom(a_odom, b_odom):
-    """Continue b's odometry rigidly from a's last pose (a proper SE(2)
-    re-anchoring — adding a constant offset would rotate b's motion
-    deltas and corrupt the odometry itself, not just its origin)."""
-    anchor = a_odom[-1]
-    c, s = np.cos(anchor[2]), np.sin(anchor[2])
-    b0 = b_odom[0]
-    cb, sb = np.cos(b0[2]), np.sin(b0[2])
-    out = np.empty_like(b_odom)
-    for k in range(len(b_odom)):
-        d = b_odom[k] - b0
-        # express in b0's frame, re-anchor at a's last pose
-        bx = cb * d[0] + sb * d[1]
-        by = -sb * d[0] + cb * d[1]
-        out[k, 0] = anchor[0] + c * bx - s * by
-        out[k, 1] = anchor[1] + s * bx + c * by
-        out[k, 2] = anchor[2] + (b_odom[k, 2] - b0[2])
-    return out
-
 def test_recovery_after_kidnap():
     """Odometry that silently lies about a teleport (two traversals spliced
     with a continuous odom frame) collapses the match scores; recovery
@@ -104,7 +85,7 @@ def test_recovery_after_kidnap():
     # splice: gt teleports, but odometry continues smoothly (the lie)
     Ta = len(a["odom"])
     log = {
-        "odom": np.concatenate([a["odom"], _splice_odom(a["odom"], b["odom"])]),
+        "odom": np.concatenate([a["odom"], splice_odom(a["odom"], b["odom"])]),
         "ranges": np.concatenate([a["ranges"], b["ranges"]]),
         "gt_poses": np.concatenate([a["gt_poses"], b["gt_poses"]]),
     }
