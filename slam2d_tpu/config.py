@@ -199,6 +199,41 @@ class GraphConfig:
     # magnitude gate: a true peak OUTSIDE the search window still leaves a
     # clean-looking aliased surface. 0 disables.
     loop_min_peak_margin: float = 0.05
+    # Robust kernel on edge residuals, IRLS-reweighted each GN iteration
+    # (weights track the current iterate). Guards against false-positive
+    # loop edges that slip past the accept gates:
+    #   "none"  — pure quadratic GN (the reference's behavior).
+    #   "huber" — w = min(1, delta/||e||_Omega): constant influence past
+    #             delta. Safe for COLD STARTS (a true loop closing a large
+    #             drift keeps pulling at full constant force until closed)
+    #             but only linearly attenuates a gross false edge.
+    #   "dcs"   — Dynamic Covariance Scaling (Agarwal et al. 2013):
+    #             w = min(1, 2*Phi/(Phi + chi2))^2 with Phi = delta^2.
+    #             Redescending: a gross outlier's influence -> 0, so one
+    #             wrong loop edge barely moves the trajectory — but a TRUE
+    #             loop with a huge initial residual (first closure after
+    #             long drift) is also suppressed; drivers mitigate by
+    #             seeding the solve from gate-checked corrections.
+    # delta is in whitened-residual units (||e||_Omega = sqrt(e^T Omega e)).
+    robust_kind: str = "none"
+    robust_delta: float = 3.0
+    # Graduated non-convexity (GNC, Yang et al. 2020 flavor): for the first
+    # robust_gnc_iters GN iterations the robust threshold is inflated by
+    # 10x per remaining iteration (iteration k uses delta * 10^(G-k)), so
+    # the solve STARTS near-quadratic — a true loop closing a large drift
+    # (first closure after a long excursion; measured cold-start: plain
+    # DCS suppresses a 7.5 m correction entirely, ATE stays at odometry)
+    # gets pulled in while the surrogate is still convex — and ENDS fully
+    # robust, so an edge that stays inconsistent with the converged graph
+    # is rejected. Trade-off (measured): a STIFF false edge can be
+    # "absorbed" during a long quadratic phase (satisfied well enough to
+    # look like an inlier: gnc=5 leaves 0.54 m ATE where gnc=2 leaves
+    # 0.0002), while very large TRUE corrections need more quadratic
+    # iterations (translational 7.5 m: gnc=2 -> 0.28, gnc=5 -> 0.013 m).
+    # Default 2 favors outlier rejection — the driver's accept gates bound
+    # true-loop corrections to loop_max_correction_xy, which 2 quadratic
+    # iterations comfortably close. 0 = robust from the first iteration.
+    robust_gnc_iters: int = 2
     damping: float = 1e-6             # Levenberg damping on H diagonal
 
 

@@ -120,14 +120,17 @@ def build_plan(g: PoseGraph, n_blocks: int) -> SchurPlan:
     )
 
 
-def _block_assemble(poses, g: PoseGraph, plan_b, I: int, S: int, damping):
+def _block_assemble(poses, g: PoseGraph, plan_b, I: int, S: int,
+                    robust: tuple[str, float] | None = None):
     """Assemble one block's (Hbb, Hbs, Hss_contrib, bb, bs_contrib, chi)."""
     edge_idx, edge_mask, ei_slot, ei_sep, ej_slot, ej_sep = plan_b
     ij = g.edges_ij[edge_idx]
     z = g.edges_z[edge_idx]
     om = g.edges_omega[edge_idx]
     m = edge_mask & g.edge_mask[edge_idx]
-    Hii, Hij, Hjj, bi, bj, chi = _edge_blocks(poses, ij, z, om, m)
+    Hii, Hij, Hjj, bi, bj, chi = _edge_blocks(
+        poses, ij, z, om, m, robust
+    )
 
     nI, nS = 3 * I, 3 * S
     Hbb = jnp.zeros((nI, nI), jnp.float32)
@@ -192,9 +195,18 @@ def _plan_device_arrays(plan: SchurPlan):
     return plan_dev, int_ids, int_valid, sep_ids
 
 
+def _host_delta_eff(cfg: GraphConfig, it: int) -> float:
+    """Effective robust threshold for GN iteration `it` (GNC annealing;
+    see se2_graph._robust_of). Host-side mirror for the Schur solvers,
+    whose GN loop lives on the host."""
+    if cfg.robust_kind == "none":
+        return 0.0
+    return cfg.robust_delta * 10.0 ** max(0, cfg.robust_gnc_iters - it)
+
+
 def _iteration_core(
     poses, g, plan_dev, int_ids, int_valid, sep_ids,
-    I: int, S: int, cfg: GraphConfig, psum_axis=None,
+    I: int, S: int, cfg: GraphConfig, psum_axis=None, robust_delta_eff=None,
 ):
     """One GN iteration over a (possibly shard-local) batch of blocks.
 
@@ -209,17 +221,22 @@ def _iteration_core(
     with jax.default_matmul_precision("highest"):
         return _iteration_core_f32(
             poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg,
-            psum_axis,
+            psum_axis, robust_delta_eff,
         )
 
 
 def _iteration_core_f32(
     poses, g, plan_dev, int_ids, int_valid, sep_ids,
-    I: int, S: int, cfg: GraphConfig, psum_axis=None,
+    I: int, S: int, cfg: GraphConfig, psum_axis=None, robust_delta_eff=None,
 ):
+    robust = (
+        None if cfg.robust_kind == "none"
+        else (cfg.robust_kind, robust_delta_eff)
+    )
+
     def per_block(plan_b, valid_b):
         Hbb, Hbs, Hss_c, bb, bs_c, chi = _block_assemble(
-            poses, g, plan_b, I, S, cfg.damping
+            poses, g, plan_b, I, S, robust
         )
         # damping + identity on padded interior slots keeps Hbb invertible
         pad = jnp.repeat(~valid_b, 3).astype(jnp.float32)
@@ -276,9 +293,11 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("I", "S", "cfg"))
-def _jit_iteration(poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg):
+def _jit_iteration(poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg,
+                   robust_delta_eff):
     return _iteration_core(
-        poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg
+        poses, g, plan_dev, int_ids, int_valid, sep_ids, I, S, cfg,
+        robust_delta_eff=robust_delta_eff,
     )
 
 
@@ -291,10 +310,10 @@ def optimize_schur(g: PoseGraph, cfg: GraphConfig, n_blocks: int = 4):
     I = plan.int_ids.shape[1]
     poses = g.poses
     chi = jnp.float32(0.0)
-    for _ in range(cfg.gn_iters):
+    for it in range(cfg.gn_iters):
         poses, chi = _jit_iteration(
             poses, g, plan_dev, int_ids, int_valid, sep_ids,
-            I, plan.n_sep, cfg,
+            I, plan.n_sep, cfg, jnp.float32(_host_delta_eff(cfg, it)),
         )
     return g._replace(poses=poses), chi
 
@@ -306,7 +325,8 @@ def _make_sharded_iter(cfg: GraphConfig, mesh, axis: str, I: int, S: int):
     from jax.sharding import PartitionSpec as P
 
     def one_iter(poses, plan_dev, int_ids, int_valid, sep_ids,
-                 edges_ij, edges_z, edges_omega, edge_mask):
+                 edges_ij, edges_z, edges_omega, edge_mask,
+                 robust_delta_eff):
         K = poses.shape[0]
         gg = PoseGraph(
             poses=poses,
@@ -318,7 +338,7 @@ def _make_sharded_iter(cfg: GraphConfig, mesh, axis: str, I: int, S: int):
         )
         return _iteration_core(
             poses, gg, plan_dev, int_ids, int_valid, sep_ids,
-            I, S, cfg, psum_axis=axis,
+            I, S, cfg, psum_axis=axis, robust_delta_eff=robust_delta_eff,
         )
 
     blocked = P(axis)
@@ -332,6 +352,7 @@ def _make_sharded_iter(cfg: GraphConfig, mesh, axis: str, I: int, S: int):
                 (blocked,) * 6,   # plan arrays: [NB, ...] block-sharded
                 blocked, blocked, repl,
                 repl, repl, repl, repl,
+                P(),   # scalar robust threshold, replicated
             ),
             out_specs=(repl, P()),
             check_vma=False,
@@ -359,9 +380,10 @@ def optimize_schur_sharded(
 
     poses = g.poses
     chi = jnp.float32(0.0)
-    for _ in range(cfg.gn_iters):
+    for it in range(cfg.gn_iters):
         poses, chi = sharded_iter(
             poses, plan_dev, int_ids, int_valid, sep_ids,
             g.edges_ij, g.edges_z, g.edges_omega, g.edge_mask,
+            jnp.float32(_host_delta_eff(cfg, it)),
         )
     return g._replace(poses=poses), chi

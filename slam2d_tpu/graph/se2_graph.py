@@ -163,8 +163,39 @@ def edge_residuals(poses, edges_ij, edges_z):
     return jax.vmap(se2.error_se2)(xi, xj, edges_z)
 
 
-def _edge_blocks(poses, edges_ij, edges_z, edges_omega, edge_mask):
+def _robust_weight(chi, kind: str, delta: float):
+    """IRLS weight + robustified cost for one edge given chi2 = e^T Omega e.
+
+    kind="huber": w = min(1, delta/||e||), rho = delta*(2||e|| - delta)
+    past the threshold — constant influence, safe for cold starts.
+    kind="dcs": Dynamic Covariance Scaling (Agarwal et al., ICRA 2013)
+    with Phi = delta^2: s = min(1, 2 Phi/(Phi + chi2)), weight s^2,
+    rho = s^2 chi2 + (1-s)^2 Phi... we report s*chi (the DCS paper's
+    scaled cost) so traces stay monotone-comparable. Redescending: gross
+    outliers' influence -> 0."""
+    if kind == "huber":
+        norm = jnp.sqrt(jnp.maximum(chi, 1e-12))
+        w = jnp.minimum(1.0, delta / norm)
+        rho = jnp.where(norm <= delta, chi, delta * (2.0 * norm - delta))
+        return w, rho
+    if kind == "dcs":
+        phi = delta * delta
+        s = jnp.minimum(1.0, 2.0 * phi / (phi + chi))
+        return s * s, s * chi
+    raise ValueError(f"unknown robust_kind {kind!r}")
+
+
+def _edge_blocks(poses, edges_ij, edges_z, edges_omega, edge_mask,
+                 robust: tuple[str, float] | None = None):
     """Per-edge H/b blocks. Returns (Hii, Hij, Hjj, bi, bj, err) stacked [E, ...].
+
+    `robust=(kind, delta)` enables a robust kernel via IRLS: each edge's
+    information matrix is scaled by a weight of its whitened residual norm
+    ||e||_Omega = sqrt(e^T Omega e) (see _robust_weight). Inlier edges keep
+    full weight; a grossly inconsistent edge — e.g. a false-positive loop
+    closure that survived the accept gates — fails SOFT instead of pulling
+    the whole trajectory quadratically. Re-evaluated each GN iteration
+    (IRLS), so weights track the current iterate.
 
     NOTE: callers must run this under jax.default_matmul_precision
     ("highest"). TPU's default matmul precision (bf16 operands) perturbs
@@ -181,19 +212,43 @@ def _edge_blocks(poses, edges_ij, edges_z, edges_omega, edge_mask):
         Ai = jax.jacfwd(lambda a: se2.error_se2(a, xj, z))(xi)   # [3, 3]
         Bj = jax.jacfwd(lambda b: se2.error_se2(xi, b, z))(xj)   # [3, 3]
         w = m.astype(jnp.float32)
+        chi = e @ omega @ e
+        if robust is not None:
+            w_rob, chi = _robust_weight(chi, *robust)
+            w = w * w_rob
         AtO = Ai.T @ omega * w
         BtO = Bj.T @ omega * w
-        return AtO @ Ai, AtO @ Bj, BtO @ Bj, AtO @ e, BtO @ e, w * (e @ omega @ e)
+        return (AtO @ Ai, AtO @ Bj, BtO @ Bj, AtO @ e, BtO @ e,
+                m.astype(jnp.float32) * chi)
 
     return jax.vmap(one)(
         edges_ij[:, 0], edges_ij[:, 1], edges_z, edges_omega, edge_mask
     )
 
 
-def assemble_normal_eq(poses, edges_ij, edges_z, edges_omega, edge_mask, K: int):
+def _robust_of(cfg: GraphConfig, it=None) -> tuple[str, float] | None:
+    """(kind, effective delta) for GN iteration `it` (traced or host int).
+
+    With robust_gnc_iters > 0 the threshold anneals geometrically (10x per
+    iteration) from near-quadratic down to cfg.robust_delta — graduated
+    non-convexity, so cold-start true loops close before the kernel turns
+    fully robust. `it=None` means 'final' (fully robust)."""
+    if cfg.robust_kind == "none":
+        return None
+    delta = cfg.robust_delta
+    if it is not None and cfg.robust_gnc_iters > 0:
+        scale = 10.0 ** jnp.maximum(
+            0.0, jnp.float32(cfg.robust_gnc_iters) - it
+        )
+        delta = delta * scale
+    return cfg.robust_kind, delta
+
+
+def assemble_normal_eq(poses, edges_ij, edges_z, edges_omega, edge_mask, K: int,
+                       robust: tuple[str, float] | None = None):
     """Dense H [3K, 3K], b [3K], chi2 scalar via one scatter-add of blocks."""
     Hii, Hij, Hjj, bi, bj, chi = _edge_blocks(
-        poses, edges_ij, edges_z, edges_omega, edge_mask
+        poses, edges_ij, edges_z, edges_omega, edge_mask, robust
     )
     H = jnp.zeros((3 * K, 3 * K), jnp.float32)
     b = jnp.zeros((3 * K,), jnp.float32)
@@ -234,10 +289,11 @@ def optimize(g: PoseGraph, cfg: GraphConfig):
     """Run cfg.gn_iters Gauss-Newton iterations; returns (graph, chi2)."""
     K = g.poses.shape[0]
 
-    def body(_, carry):
+    def body(it, carry):
         poses, _ = carry
         H, b, chi = assemble_normal_eq(
-            poses, g.edges_ij, g.edges_z, g.edges_omega, g.edge_mask, K
+            poses, g.edges_ij, g.edges_z, g.edges_omega, g.edge_mask, K,
+            _robust_of(cfg, it),
         )
         poses = _gn_iterate(poses, H, b, g.node_mask, cfg, K)
         return poses, chi
@@ -262,10 +318,11 @@ def make_optimize_sharded(cfg: GraphConfig, mesh, axis: str = "particles"):
     def step(poses, node_mask, edges_ij, edges_z, edges_omega, edge_mask):
         K = poses.shape[0]
 
-        def body(_, carry):
+        def body(it, carry):
             p, _ = carry
             H, b, chi = assemble_normal_eq(
-                p, edges_ij, edges_z, edges_omega, edge_mask, K
+                p, edges_ij, edges_z, edges_omega, edge_mask, K,
+                _robust_of(cfg, it),
             )
             H = jax.lax.psum(H, axis)
             b = jax.lax.psum(b, axis)

@@ -103,6 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loop-max-correction", type=float, default=None,
                    help="max |xy| correction (m) an accepted loop may imply "
                         "(plausibility gate; raise for long-drift logs)")
+    p.add_argument("--robust", default=None,
+                   choices=["none", "huber", "dcs"],
+                   help="robust kernel on pose-graph edges (full mode): a "
+                        "false-positive loop edge fails soft instead of "
+                        "corrupting the trajectory (dcs recommended; GNC-"
+                        "annealed over the first iterations)")
+    p.add_argument("--robust-delta", type=float, default=None,
+                   help="robust kernel threshold in whitened-residual units")
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gt-ate", action="store_true",
@@ -303,6 +311,8 @@ def main(argv=None) -> int:
                 "loop_radius": args.loop_radius,
                 "loop_score_accept": args.loop_accept,
                 "loop_max_correction_xy": args.loop_max_correction,
+                "robust_kind": args.robust,
+                "robust_delta": args.robust_delta,
             }.items()
             if v is not None
         }
