@@ -171,6 +171,29 @@ def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
     )
 
 
+def pf_state_template(cfg: FrontendConfig, pf: PFConfig) -> PFState:
+    """Host (numpy) PFState with the run's shapes/dtypes — the checkpoint
+    restore target (SURVEY.md §7 "particle state"). Never touches a device:
+    at P=1000 the [P, H, W] map stack must not be staged on one chip just
+    to describe its shape."""
+    import numpy as np
+
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    P = pf.n_particles
+    return PFState(
+        logodds=np.zeros(
+            (P, cfg.grid.height, cfg.grid.width), jnp.dtype(pf.map_dtype)
+        ),
+        poses=np.zeros((P, 3), np.float32),
+        log_w=np.zeros(P, np.float32),
+        prev_odom=np.zeros(3, np.float32),
+        rng=np.zeros(key.shape, key.dtype),
+        dist=np.float32(0.0),
+        since_update=np.float32(0.0),
+        since_match=np.float32(0.0),
+    )
+
+
 def effective_sample_size(log_w):
     w = jax.nn.softmax(log_w)
     return 1.0 / jnp.sum(w * w)

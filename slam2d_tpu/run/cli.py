@@ -119,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars under OUT/tb "
                         "(needs tensorboardX; silently skipped otherwise)")
-    # checkpoint/resume (frontend mode): process [start, end) scans
+    # checkpoint/resume (frontend/fastslam/full modes): [start, end) scans
     p.add_argument("--save-state", default=None,
                    help="directory to save the pipeline state (orbax)")
     p.add_argument("--resume-state", default=None,
@@ -289,18 +289,32 @@ def main(argv=None) -> int:
             n_particles=args.particles, map_dtype=args.map_dtype,
             refine_chunk=args.refine_chunk, refine_mode=args.refine_mode,
         )
+        init_state = None
+        if args.resume_state:
+            from slam2d_tpu.pf.fastslam import pf_state_template
+            from slam2d_tpu.utils.checkpoint import load_state
+
+            init_state = load_state(
+                args.resume_state, pf_state_template(cfg, pf)
+            )
+            extra["resumed_from"] = args.resume_state
         if args.shard:
             from slam2d_tpu.run.sharded_run import run_sharded_fastslam
 
             state, traj, n_eff, scores = run_sharded_fastslam(
-                log, cfg, pf, seed=args.seed
+                log, cfg, pf, seed=args.seed, state=init_state
             )
-            best = int(np.argmax(np.asarray(state.log_w)))
-            grid = state.logodds[best]
         else:
-            state, traj, n_eff, scores = run_fastslam(log, cfg, pf, seed=args.seed)
-            best = int(np.argmax(np.asarray(state.log_w)))
-            grid = state.logodds[best]
+            state, traj, n_eff, scores = run_fastslam(
+                log, cfg, pf, seed=args.seed, state=init_state
+            )
+        if args.save_state:
+            from slam2d_tpu.utils.checkpoint import save_state
+
+            save_state(args.save_state, state)
+            extra["saved_state"] = args.save_state
+        best = int(np.argmax(np.asarray(state.log_w)))
+        grid = state.logodds[best]
         extra["mean_n_eff"] = float(np.mean(n_eff))
     else:  # full
         overrides = {

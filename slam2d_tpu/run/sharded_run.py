@@ -22,18 +22,27 @@ def run_sharded_fastslam(
     pf: PFConfig,
     seed: int = 0,
     n_devices: int | None = None,
+    state=None,
 ):
-    """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T])."""
+    """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T]).
+
+    `state`: resume from a checkpointed PFState (host or single-device
+    arrays are re-placed shard-by-shard onto the mesh)."""
+    from slam2d_tpu.pf.sharded import place_state
+
     mesh = make_particle_mesh(n_devices)
     odom = np.asarray(log["odom"], np.float32)
     ranges = np.asarray(log["ranges"], np.float32)
     T = len(odom)
     K = cfg.chunk
 
-    state = sharded_fastslam_init(
-        cfg, pf, jax.random.PRNGKey(seed), mesh, start_pose=odom[0]
-    )
-    state = state._replace(prev_odom=jnp.asarray(odom[0]))
+    if state is None:
+        state = sharded_fastslam_init(
+            cfg, pf, jax.random.PRNGKey(seed), mesh, start_pose=odom[0]
+        )
+        state = state._replace(prev_odom=jnp.asarray(odom[0]))
+    else:
+        state = place_state(state, mesh)
     chunk_fn = make_sharded_chunk_fn(cfg, pf, mesh)
 
     trajs, neffs, scores = [], [], []

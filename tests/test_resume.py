@@ -145,3 +145,80 @@ def test_tiled_full_slam_split_run_matches_single_run(tmp_path):
     np.testing.assert_array_equal(res_b.kf_scan_idx, full.kf_scan_idx)
     np.testing.assert_allclose(res_b.kf_poses, full.kf_poses, atol=1e-3)
     np.testing.assert_allclose(res_b.traj, full.traj[cut:], atol=1e-3)
+
+
+def test_fastslam_split_run_matches_single_run(tmp_path):
+    """FastSLAM (config 3) checkpoint/resume: PFState (particle poses,
+    per-particle maps, log-weights, RNG) round-trips through orbax and a
+    split run reproduces the single run exactly — the RNG key rides in
+    the state, so proposal noise and resampling draws are identical."""
+    from slam2d_tpu.config import PFConfig
+    from slam2d_tpu.pf.fastslam import pf_state_template
+    from slam2d_tpu.run.fastslam_run import run_fastslam
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=60, max_range=10.0),
+        grid=GridConfig(height=160, width=160, resolution=0.1,
+                        ray_samples=96, center_x=6.0, center_y=6.0),
+        matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=7),
+        chunk=8,
+    )
+    pf = PFConfig(n_particles=8, refine_mode="per_particle")
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    log = simulate_log(world, wp, cfg.sensor, step=0.2, seed=4)
+    T = len(log["odom"])
+    cut = (T // 2 // cfg.chunk) * cfg.chunk
+
+    _, traj_full, neff_full, _ = run_fastslam(log, cfg, pf, seed=1)
+
+    first = {k: v[:cut] for k, v in log.items()}
+    second = {k: v[cut:] for k, v in log.items()}
+    state, traj_a, neff_a, _ = run_fastslam(first, cfg, pf, seed=1)
+    path = save_state(str(tmp_path / "pf_ck"), state)
+    restored = load_state(path, pf_state_template(cfg, pf))
+    _, traj_b, neff_b, _ = run_fastslam(second, cfg, pf, state=restored)
+
+    np.testing.assert_allclose(
+        np.concatenate([traj_a, traj_b]), traj_full, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.concatenate([neff_a, neff_b]), neff_full, atol=1e-3
+    )
+
+
+def test_sharded_fastslam_resume_restores_placement(tmp_path):
+    """Sharded FastSLAM resume: the restored PFState is re-placed onto the
+    particle mesh (sharded leaves) and the split run matches the single
+    run — checkpoint format is mesh-independent host arrays."""
+    from slam2d_tpu.config import PFConfig
+    from slam2d_tpu.pf.fastslam import pf_state_template
+    from slam2d_tpu.run.sharded_run import run_sharded_fastslam
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=60, max_range=10.0),
+        grid=GridConfig(height=160, width=160, resolution=0.1,
+                        ray_samples=96, center_x=6.0, center_y=6.0),
+        matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=7),
+        chunk=8,
+    )
+    pf = PFConfig(n_particles=16, refine_mode="per_particle")
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    log = simulate_log(world, wp, cfg.sensor, step=0.25, seed=4)
+    T = len(log["odom"])
+    cut = (T // 2 // cfg.chunk) * cfg.chunk
+
+    _, traj_full, _, _ = run_sharded_fastslam(log, cfg, pf, seed=1)
+
+    first = {k: v[:cut] for k, v in log.items()}
+    second = {k: v[cut:] for k, v in log.items()}
+    state, traj_a, _, _ = run_sharded_fastslam(first, cfg, pf, seed=1)
+    path = save_state(str(tmp_path / "spf_ck"), state)
+    restored = load_state(path, pf_state_template(cfg, pf))
+    _, traj_b, _, _ = run_sharded_fastslam(
+        second, cfg, pf, state=restored
+    )
+    np.testing.assert_allclose(
+        np.concatenate([traj_a, traj_b]), traj_full, atol=1e-4
+    )
