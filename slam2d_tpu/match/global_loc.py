@@ -16,11 +16,15 @@ reference's formulation would need per candidate. A full-circle theta grid
 This is the AMCL global-init analog, and pairs with run_localization
 (run/frontend.py) which needs a starting pose estimate.
 
-Caveats: FFT correlation wraps at map borders — poses whose scan would
-read across the border can alias; real maps keep walls inside the border
-so the true peak dominates in practice (tests place the robot anywhere in
-a 20 m world on a 256^2 map). Scores are normalized per valid beam, same
-scale as match_scan's.
+Border handling: raw circular FFT correlation wraps at map borders — a
+pose near the border would read S from the opposite side. The sweep
+therefore zero-pads S (and splats E in the padded frame) by the sensor's
+max range, making the correlation exactly LINEAR, and masks out
+displacements whose implied robot cell lies outside the map. Padded dims
+round up to a multiple of 128 (TPU-friendly FFT sizes). `pad_border=False`
+restores the cheaper wrapping sweep for maps known to keep their walls
+well inside the border. Scores are normalized per valid beam, same scale
+as match_scan's.
 """
 
 from __future__ import annotations
@@ -66,16 +70,30 @@ def _endpoint_image(pts, valid, theta, H, W, resolution):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gcfg", "sensor", "n_theta", "theta_chunk")
+    jax.jit,
+    static_argnames=("gcfg", "sensor", "n_theta", "theta_chunk", "pad"),
 )
 def _global_sweep(
     S, ranges, gcfg: GridConfig, sensor: SensorConfig,
-    n_theta: int, theta_chunk: int,
+    n_theta: int, theta_chunk: int, pad: int = 0,
 ):
     H, W = S.shape
+    if pad:
+        # zero-pad so the circular FFT correlation is exactly LINEAR for
+        # every in-map robot cell: endpoints reach at most `pad` cells
+        # from the robot, and the zero band absorbs both directions of
+        # wrap. Round up to a multiple of 128 (fast FFT sizes on TPU;
+        # extra zeros are harmless — the validity mask below restricts
+        # the argmax to in-map robot cells).
+        Hp = -(-(H + 2 * pad) // 128) * 128
+        Wp = -(-(W + 2 * pad) // 128) * 128
+        S_use = jnp.zeros((Hp, Wp), S.dtype).at[:H, :W].set(S)
+    else:
+        Hp, Wp = H, W
+        S_use = S
     pts, valid = scan_endpoints_local(ranges, sensor)
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    FS = jnp.fft.rfft2(S.astype(jnp.float32))
+    FS = jnp.fft.rfft2(S_use.astype(jnp.float32))
 
     thetas = (
         jnp.arange(n_theta, dtype=jnp.float32) * (2.0 * jnp.pi / n_theta)
@@ -84,40 +102,49 @@ def _global_sweep(
 
     def corr_batch(th):
         def one(theta):
-            E = _endpoint_image(pts, valid, theta, H, W, gcfg.resolution)
+            E = _endpoint_image(pts, valid, theta, Hp, Wp, gcfg.resolution)
             # correlation theorem: corr[d] = IFFT(conj(FFT(E)) * FFT(S))[d]
-            return jnp.fft.irfft2(jnp.conj(jnp.fft.rfft2(E)) * FS, s=(H, W))
+            return jnp.fft.irfft2(
+                jnp.conj(jnp.fft.rfft2(E)) * FS, s=(Hp, Wp)
+            )
 
         return jax.vmap(one)(th)
 
     corr = jax.lax.map(
         corr_batch, thetas.reshape(n_theta // theta_chunk, theta_chunk)
-    ).reshape(n_theta, H, W) / denom
+    ).reshape(n_theta, Hp, Wp) / denom
+    # displacement d -> robot cell v = d + center (mod padded dims); only
+    # displacements whose robot cell lies INSIDE the original map are
+    # poses at all (the padded frame also enumerates robots in the zero
+    # band, which score spuriously from partial overlap)
+    rr = jnp.arange(Hp, dtype=jnp.int32)
+    cc = jnp.arange(Wp, dtype=jnp.int32)
+    vr_all = jnp.mod(rr + Hp // 2, Hp)
+    vc_all = jnp.mod(cc + Wp // 2, Wp)
+    in_map = (vr_all < H)[:, None] & (vc_all < W)[None, :]
+    corr = jnp.where(in_map[None], corr, -jnp.inf)
     flat = jnp.argmax(corr.reshape(-1))
-    ti, d = jnp.divmod(flat, H * W)
-    dr, dc = jnp.divmod(d, W)
+    ti, d = jnp.divmod(flat, Hp * Wp)
+    dr, dc = jnp.divmod(d, Wp)
     best = corr.reshape(-1)[flat]
     # peak-uniqueness margin: best minus the best OUTSIDE a ~1 m
     # translation box around the winner (any heading). Perceptual
     # aliasing (look-alike rooms) shows up as a second near-equal peak
     # far away — margin ~0 — while a unique lock has margin >> 0.
     ex = max(int(round(1.0 / gcfg.resolution)), 2)
-    over_th = jnp.max(corr, axis=0)                       # [H, W]
-    rr = jnp.arange(H, dtype=jnp.int32)
-    cc = jnp.arange(W, dtype=jnp.int32)
+    over_th = jnp.max(corr, axis=0)                       # [Hp, Wp]
     # CIRCULAR distance: the FFT displacement domain wraps, and a winner
-    # near displacement 0/H has its own shoulder at row H-1
+    # near displacement 0/Hp has its own shoulder at row Hp-1
     ar = jnp.abs(rr - dr)
     ac = jnp.abs(cc - dc)
     near = (
-        (jnp.minimum(ar, H - ar)[:, None] <= ex)
-        & (jnp.minimum(ac, W - ac)[None, :] <= ex)
+        (jnp.minimum(ar, Hp - ar)[:, None] <= ex)
+        & (jnp.minimum(ac, Wp - ac)[None, :] <= ex)
     )
     second = jnp.max(jnp.where(near, -jnp.inf, over_th))
     margin = best - jnp.maximum(second, -1e9)
-    # robot cell v = displacement d + center (see module docstring)
-    vr = jnp.mod(dr + H // 2, H)
-    vc = jnp.mod(dc + W // 2, W)
+    vr = jnp.mod(dr + Hp // 2, Hp)
+    vc = jnp.mod(dc + Wp // 2, Wp)
     x = gcfg.origin_x + (vc.astype(jnp.float32) + 0.5) * gcfg.resolution
     y = gcfg.origin_y + (vr.astype(jnp.float32) + 0.5) * gcfg.resolution
     return jnp.stack([x, y, thetas[ti]]), best, margin
@@ -134,6 +161,7 @@ def global_localize(
     search_space=None,
     refine: bool = True,
     return_margin: bool = False,
+    pad_border: bool = True,
 ):
     """Returns (pose [3], score) — or (pose, score, margin) with
     return_margin=True, where margin is the peak-uniqueness diagnostic
@@ -143,15 +171,23 @@ def global_localize(
 
     `n_theta` full-circle headings are FFT-swept; the winner seeds a
     match_scan refinement over +-1 theta step and a few cells (sub-cell /
-    sub-step accuracy). Set refine=False for the raw grid peak."""
+    sub-step accuracy). Set refine=False for the raw grid peak.
+
+    `pad_border` (default True) zero-pads the sweep by the sensor's max
+    range so poses near the map border score exactly (no FFT wrap
+    aliasing); False keeps the cheaper same-size sweep."""
     assert n_theta % theta_chunk == 0, (n_theta, theta_chunk)
     S = (
         build_search_space(logodds, mcfg, gcfg.resolution)
         if search_space is None
         else search_space
     )
+    pad = (
+        int(np.ceil(sensor.max_range / gcfg.resolution)) + 2
+        if pad_border else 0
+    )
     coarse, score, margin = _global_sweep(
-        S, ranges, gcfg, sensor, n_theta, theta_chunk
+        S, ranges, gcfg, sensor, n_theta, theta_chunk, pad
     )
     if not refine:
         return (coarse, score, margin) if return_margin else (coarse, score)

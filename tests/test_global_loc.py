@@ -66,3 +66,108 @@ def test_global_peak_without_refine_is_cell_grade():
     th = 2 * np.pi / 72
     err_th = abs((est[2] - true[2] + np.pi) % (2 * np.pi) - np.pi)
     assert err_th < th
+
+
+def _direct_score(S, pose, ranges, gcfg, sensor):
+    """NumPy oracle: mean bilinear sample of S at the scan's world
+    endpoints; endpoints OUTSIDE the map contribute 0 (the physical
+    semantics the FFT sweep must reproduce)."""
+    from slam2d_tpu.grid.occupancy import scan_endpoints_local
+
+    pts, valid = scan_endpoints_local(
+        np.asarray(ranges, np.float32), sensor
+    )
+    pts, valid = np.asarray(pts), np.asarray(valid)
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    ex = (c * pts[:, 0] - s * pts[:, 1] + pose[0] - gcfg.origin_x) \
+        / gcfg.resolution - 0.5
+    ey = (s * pts[:, 0] + c * pts[:, 1] + pose[1] - gcfg.origin_y) \
+        / gcfg.resolution - 0.5
+    H, W = S.shape
+    tot = 0.0
+    for x, y, v in zip(ex, ey, valid):
+        if not v:
+            continue
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)),
+                          (0, 1, (1 - fy) * fx),
+                          (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
+            yy, xx = y0 + dy, x0 + dx
+            if 0 <= yy < H and 0 <= xx < W:
+                tot += w * S[yy, xx]
+    return tot / max(valid.sum(), 1)
+
+
+def test_global_localize_near_map_border():
+    """Poses whose scans reach past the map border (VERDICT r1 item 10).
+
+    Exactness property: the zero-padded linear sweep's peak score must
+    EQUAL the direct endpoint-sum score of the pose it returns (outside-
+    map endpoints read 0) — no phantom inflation from FFT wrap. The raw
+    circular sweep measurably inflates its peak near the border. Plus:
+    distinctive poses within ~2 m of the border recover."""
+    import dataclasses
+
+    from slam2d_tpu.match.correlative import build_search_space
+
+    # tight grid: walls sit ~4 cells from the border, so a border pose's
+    # 10 m scan footprint extends far outside the map
+    cfg = dataclasses.replace(
+        CFG,
+        grid=GridConfig(height=208, width=208, resolution=0.1,
+                        ray_samples=128, center_x=10.0, center_y=10.0),
+    )
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array([[3, 3], [3, 8], [8, 8], [12, 3.5], [16, 3.5]], float)
+    log = simulate_log(world, wp, cfg.sensor, step=0.15,
+                       odom_noise_xy=0.005, odom_noise_theta=0.002, seed=1)
+    state, _, _ = run_frontend(log, cfg)
+    logodds = state.logodds
+    S = np.asarray(
+        build_search_space(logodds, cfg.matcher, cfg.grid.resolution)
+    )
+    beams = np.asarray(cfg.sensor.beam_angles())
+
+    # 1) exactness at border poses (ambiguous or not — the SCORE must be
+    #    honest either way; perceptual aliasing is the margin gate's job)
+    border_poses = [[1.2, 5.0, 0.2], [16.0, 1.0, 1.8], [2.5, 18.0, -1.5]]
+    for true in border_poses:
+        true = np.asarray(true, np.float32)
+        ranges = np.asarray(
+            world.raycast(true, beams, cfg.sensor.max_range), np.float32
+        )
+        est, sc = global_localize(
+            logodds, ranges, cfg.grid, cfg.matcher, cfg.sensor,
+            pad_border=True, refine=False, search_space=S,
+        )
+        d = _direct_score(S, np.asarray(est), ranges, cfg.grid, cfg.sensor)
+        assert abs(float(sc) - d) < 2e-3, (true, float(sc), d)
+
+    # 2) the WRAPPING sweep inflates its peak on this border pose
+    true = np.asarray([1.2, 5.0, 0.2], np.float32)
+    ranges = np.asarray(
+        world.raycast(true, beams, cfg.sensor.max_range), np.float32
+    )
+    est_w, sc_w = global_localize(
+        logodds, ranges, cfg.grid, cfg.matcher, cfg.sensor,
+        pad_border=False, refine=False, search_space=S,
+    )
+    d_w = _direct_score(S, np.asarray(est_w), ranges, cfg.grid, cfg.sensor)
+    assert float(sc_w) - d_w > 2e-3, (float(sc_w), d_w)
+
+    # 3) distinctive near-border poses recover with the padded sweep
+    for true in ([2.0, 1.5, 1.0], [18.5, 2.5, 2.6]):
+        true = np.asarray(true, np.float32)
+        ranges = np.asarray(
+            world.raycast(true, beams, cfg.sensor.max_range), np.float32
+        )
+        est, score = global_localize(
+            logodds, ranges, cfg.grid, cfg.matcher, cfg.sensor,
+            pad_border=True, search_space=S,
+        )
+        est = np.asarray(est)
+        err_xy = np.hypot(est[0] - true[0], est[1] - true[1])
+        err_th = abs((est[2] - true[2] + np.pi) % (2 * np.pi) - np.pi)
+        assert err_xy < 0.2, (true, est, err_xy, float(score))
+        assert err_th < 0.1, (true, est, err_th)
