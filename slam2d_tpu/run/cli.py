@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-ate", action="store_true",
                    help="print ATE vs ground truth (synth logs only)")
     p.add_argument("--save-viz", action="store_true")
+    p.add_argument("--save-video", default=None, metavar="PATH",
+                   help="write a map-build animation (.gif, or .mp4 via "
+                        "OpenCV) captured at chunk boundaries "
+                        "(frontend/fastslam/full non-tiled modes; costs "
+                        "one map fetch per chunk)")
+    p.add_argument("--video-every", type=int, default=1,
+                   help="keep every Nth chunk-boundary frame")
+    p.add_argument("--video-fps", type=int, default=10)
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars under OUT/tb "
                         "(needs tensorboardX; silently skipped otherwise)")
@@ -199,6 +207,22 @@ def main(argv=None) -> int:
             resolution=args.resolution,
         )
 
+    recorder = None
+    if args.save_video:
+        if args.tiled or (args.mode == "fastslam" and args.shard):
+            raise SystemExit(
+                "--save-video supports frontend/fastslam/full non-tiled, "
+                "non-sharded runs"
+            )
+        from slam2d_tpu.viz.video import VideoRecorder
+
+        recorder = VideoRecorder(
+            args.save_video, cfg.grid, fps=args.video_fps,
+            every=args.video_every,
+        )
+        if "gt_poses" in log:
+            recorder.set_ground_truth(log["gt_poses"])
+
     t0 = time.perf_counter()
     extra: dict = {}
     if args.mode == "frontend" and args.tiled:
@@ -273,7 +297,10 @@ def main(argv=None) -> int:
 
             init_state = load_state(args.resume_state, frontend_init(cfg))
             extra["resumed_from"] = args.resume_state
-        state, traj, scores = run_frontend(log, cfg, state=init_state)
+        state, traj, scores = run_frontend(
+            log, cfg, state=init_state,
+            frame_cb=recorder.add if recorder else None,
+        )
         if args.save_state:
             from slam2d_tpu.utils.checkpoint import save_state
 
@@ -306,7 +333,8 @@ def main(argv=None) -> int:
             )
         else:
             state, traj, n_eff, scores = run_fastslam(
-                log, cfg, pf, seed=args.seed, state=init_state
+                log, cfg, pf, seed=args.seed, state=init_state,
+                frame_cb=recorder.add if recorder else None,
             )
         if args.save_state:
             from slam2d_tpu.utils.checkpoint import save_state
@@ -374,6 +402,7 @@ def main(argv=None) -> int:
             res = run_full_slam(
                 log, cfg, gcfg, optimizer=optimizer, resume=resume,
                 scan_index_offset=offset,
+                frame_cb=recorder.add if recorder else None,
             )
             if args.save_state:
                 from slam2d_tpu.utils.checkpoint import save_state
@@ -388,6 +417,9 @@ def main(argv=None) -> int:
         extra["n_keyframes"] = len(res.kf_poses)
         extra["chi2"] = res.chi2
     dt = time.perf_counter() - t0
+    if recorder is not None and recorder.frames:
+        extra["video"] = recorder.save()
+        extra["video_frames"] = len(recorder.frames)
 
     metrics = {
         "mode": args.mode,

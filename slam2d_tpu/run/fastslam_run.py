@@ -34,8 +34,13 @@ def run_fastslam(
     pf: PFConfig,
     seed: int = 0,
     state: PFState | None = None,
+    frame_cb=None,
 ):
-    """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T])."""
+    """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T]).
+
+    `frame_cb(logodds, traj_chunk)` captures the BEST particle's map at
+    each chunk boundary for animation export (fetches one [H, W] map per
+    chunk — leave None on throughput runs)."""
     odom = np.asarray(log["odom"], np.float32)
     ranges = np.asarray(log["ranges"], np.float32)
     T = len(odom)
@@ -52,6 +57,7 @@ def run_fastslam(
     for s in range(0, T, K):
         o = odom[s : s + K]
         r = ranges[s : s + K]
+        n_here = len(o)
         if len(o) < K:
             pad = K - len(o)
             o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
@@ -62,6 +68,11 @@ def run_fastslam(
         trajs.append(bp)
         neffs.append(ne)
         scores.append(sc)
+        if frame_cb is not None:
+            best_map = jnp.take(
+                state.logodds, jnp.argmax(state.log_w), axis=0
+            )
+            frame_cb(best_map, np.asarray(bp)[:n_here])
 
     trajs, neffs, scores = jax.device_get((trajs, neffs, scores))
     return (

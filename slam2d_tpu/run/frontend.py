@@ -206,12 +206,21 @@ def _chunk_iter(odom: np.ndarray, ranges: np.ndarray, K: int):
         yield o, r, min(K, T - s)
 
 
-def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = None):
+def run_frontend(
+    log: dict,
+    cfg: FrontendConfig,
+    state: FrontendState | None = None,
+    frame_cb=None,
+):
     """Run the full frontend over a host-side log dict {odom, ranges}.
 
     Pads the tail chunk by repeating the last record (repeated identical
     odometry is a no-op motion, and re-integrating the same scan at the same
     pose is harmless), then truncates the outputs.
+
+    `frame_cb(logodds, traj_chunk)` is called at every chunk boundary for
+    animation capture (viz.video.VideoRecorder.add) — it fetches the map
+    per chunk, so leave it None on throughput runs.
 
     Returns (final_state, traj [T, 3] np.ndarray, scores [T] np.ndarray).
     """
@@ -225,13 +234,15 @@ def run_frontend(log: dict, cfg: FrontendConfig, state: FrontendState | None = N
     chunk_fn = make_chunk_fn(cfg)
 
     trajs, scores = [], []
-    for o, r, _ in _chunk_iter(odom, ranges, K):
+    for o, r, n_here in _chunk_iter(odom, ranges, K):
         state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
         # keep outputs on device: a blocking fetch PER CHUNK serializes the
         # host loop on transfer latency (costly over a remote-TPU tunnel);
         # one device_get at the end drains everything in a single round trip
         trajs.append(tr)
         scores.append(sc)
+        if frame_cb is not None:
+            frame_cb(state.logodds, np.asarray(tr)[:n_here])
 
     trajs, scores = jax.device_get((trajs, scores))
     traj = np.concatenate(trajs)[:T]

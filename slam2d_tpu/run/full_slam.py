@@ -594,8 +594,13 @@ def run_full_slam(
     resume: dict | None = None,
     scan_index_offset: int = 0,
     incremental_rebuild: bool = True,
+    frame_cb=None,
 ):
     """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
+
+    `frame_cb(logodds, traj_chunk)` captures the map at each chunk
+    boundary for animation export (viz.video.VideoRecorder.add); the map
+    fetch piggybacks on the chunk's existing trajectory drain.
 
     optimizer: "dense" (one Cholesky over all keyframes), "schur"
     (block-eliminated — the form that scales/distributes), or
@@ -738,6 +743,8 @@ def run_full_slam(
         n_here = min(K, T - s0)
         traj_out[s0 : s0 + n_here] = tr[:n_here]
         emitted_upto = s0 + n_here - 1
+        if frame_cb is not None:
+            frame_cb(state.logodds, tr[:n_here])
 
         # keyframe admission over this chunk
         for t in range(n_here):
