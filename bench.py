@@ -2,10 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference is a pure-Python per-beam-loop correlative matcher;
-it publishes no numbers (BASELINE.md). Its expected order is 0.5-2 scans/s
-on CPU; vs_baseline is computed against the 1.0 scans/s midpoint estimate
-(documented in BASELINE.md). The north-star target is >= 50x.
+Baseline: the reference is a pure-Python correlative matcher; it publishes
+no numbers (BASELINE.md). vs_baseline is MEASURED each run against the
+NumPy reference-style comparator (tests/numpy_reference.py, SURVEY.md §6)
+configured to the SAME workload shape (1024^2 grid @ 0.05 m, 180 beams,
+cell-step search window, 13 theta steps) on the same log — a few scans
+timed on this host's CPU (~1 s). Note this comparator is beam-VECTORIZED
+NumPy; the actual reference loops per beam per candidate in pure Python,
+so the measured baseline is a conservative (fast) stand-in.
 
 Runs on whatever backend jax selects (the real TPU chip under the driver).
 """
@@ -29,7 +33,30 @@ from slam2d_tpu.config import (
 from slam2d_tpu.data.synth import SynthWorld, simulate_log
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
-REFERENCE_SCANS_PER_SEC = 1.0  # midpoint of the 0.5-2 scans/s estimate
+
+def measure_reference_baseline(log, n_prime: int = 30, n_time: int = 3):
+    """Measured comparator scans/s at the bench workload shape."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from numpy_reference import NumpyRefSLAM
+
+    ref = NumpyRefSLAM(
+        size=1024, resolution=0.05, center=(10.0, 10.0),
+        n_beams=180, max_range=12.0,
+        search_xy=0.3, search_step=0.05,
+        search_theta=0.15, theta_step=0.025,
+    )
+    odom = np.asarray(log["odom"])
+    ranges = np.asarray(log["ranges"])
+    for t in range(n_prime):       # non-trivial map before timing
+        ref.update(odom[t], ranges[t])
+    t0 = time.perf_counter()
+    for t in range(n_prime, n_prime + n_time):
+        p, _ = ref.match(odom[t], ranges[t])
+        ref.update(p, ranges[t])
+    return n_time / (time.perf_counter() - t0)
 
 
 def main():
@@ -75,13 +102,15 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_sec = done / dt
+    ref_sps = measure_reference_baseline(log)
     print(
         json.dumps(
             {
                 "metric": "frontend_scans_per_sec",
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 2),
+                "vs_baseline": round(scans_per_sec / ref_sps, 2),
+                "reference_scans_per_sec": round(ref_sps, 3),
             }
         )
     )

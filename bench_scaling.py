@@ -11,6 +11,19 @@ GRAPH is identical to the ICI/DCN lowering on a pod slice, so this validates
 the scaling structure; absolute numbers come from pod runs.
 
 Prints one JSON line per mesh size plus a summary line with the efficiency.
+
+Isolating evidence for the virtual-mesh artifact (VERDICT r1 item 3): the
+observed 1->8 efficiency drop could be (a) the collective graph, or (b) N
+virtual devices time-slicing the SAME host cores on compute. Two probes
+separate them:
+
+- a COLLECTIVES-ONLY step (the PF's exact collective schedule — pmax/psum
+  log-normalization, all_gather of shard weight sums, ring ppermute of the
+  full per-particle map stack — with no matcher/update compute). If this
+  scales flat while the full step drops, the collectives are exonerated.
+- host CPU saturation (process cpu-time / wall / cores) during each timed
+  run. Compute-bound time-slicing shows utilization pinned near 1.0 as N
+  grows, with total cpu-seconds per scan scaling ~linearly in N.
 """
 
 from __future__ import annotations
@@ -71,7 +84,54 @@ def main() -> int:
     ranges = np.asarray(log["ranges"], np.float32)
     T = min(args.scans, (len(odom) // cfg.chunk) * cfg.chunk)
 
-    rates = {}
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    n_cores = os.cpu_count() or 1
+
+    @functools.lru_cache(maxsize=None)
+    def make_collectives_only_fn(n: int, P_local: int, steps: int):
+        """The sharded PF step's collective schedule with NO local compute:
+        pmax/psum log-weight normalization, all_gather of shard sums, and
+        a ring ppermute of the full [P_local, H, W] map stack per scan
+        (an UPPER bound — the real step rings only on N_eff triggers)."""
+        mesh = make_particle_mesh(n)
+        axis = "particles"
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def step(log_w, maps):
+            m = jax.lax.pmax(jnp.max(log_w), axis)
+            s = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), axis)
+            log_w = log_w - (m + jnp.log(s))
+            shard_sums = jax.lax.all_gather(
+                jnp.sum(jnp.exp(log_w)), axis
+            )
+            maps = jax.lax.ppermute(maps, axis, perm)
+            # data dependence so nothing is DCE'd
+            return log_w + 0.0 * jnp.sum(shard_sums), maps
+
+        def many(log_w, maps):
+            def body(carry, _):
+                lw, mp = carry
+                lw, mp = step(lw, mp)
+                return (lw, mp), lw[0]
+
+            (log_w, maps), _ = jax.lax.scan(
+                body, (log_w, maps), None, length=steps
+            )
+            return log_w, maps
+
+        return mesh, jax.jit(
+            jax.shard_map(
+                many, mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            )
+        )
+
+    rates, coll_rates, cpu_util = {}, {}, {}
     for n in args.devices:
         pf = PFConfig(n_particles=args.particles_per_device * n)
         mesh = make_particle_mesh(n)
@@ -88,6 +148,7 @@ def main() -> int:
         np.asarray(out[0])
 
         t0 = time.perf_counter()
+        c0 = sum(os.times()[:2])
         done = 0
         for s in range(cfg.chunk, T, cfg.chunk):
             state, out = chunk_fn(
@@ -98,7 +159,9 @@ def main() -> int:
             done += cfg.chunk
         np.asarray(out[0])
         dt = time.perf_counter() - t0
+        cpu_s = sum(os.times()[:2]) - c0
         rates[n] = done / dt
+        cpu_util[n] = cpu_s / (dt * n_cores)
         print(
             json.dumps(
                 {
@@ -107,19 +170,99 @@ def main() -> int:
                     "particles": pf.n_particles,
                     "value": round(rates[n], 2),
                     "unit": "scans/s",
+                    "cpu_seconds": round(cpu_s, 2),
+                    "host_cpu_utilization": round(cpu_util[n], 3),
+                    "host_cores": n_cores,
+                }
+            )
+        )
+
+        # collectives-only probe at the same shapes
+        steps = T
+        cmesh, coll_fn = make_collectives_only_fn(
+            n, pf.n_particles, cfg.chunk
+        )
+        log_w = jnp.zeros(pf.n_particles, jnp.float32)
+        maps = jnp.zeros(
+            (pf.n_particles, args.grid, args.grid), jnp.float32
+        )
+        lw, mp = coll_fn(log_w, maps)   # compile
+        np.asarray(lw)
+        t0 = time.perf_counter()
+        for _ in range(steps // cfg.chunk):
+            lw, mp = coll_fn(lw, mp)
+        np.asarray(lw)
+        dt = time.perf_counter() - t0
+        coll_rates[n] = steps / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "collectives_only_steps_per_sec",
+                    "devices": n,
+                    "value": round(coll_rates[n], 2),
+                    "unit": "steps/s",
                 }
             )
         )
 
     base = args.devices[0]
-    eff = rates[max(args.devices)] / rates[base]
+    top = max(args.devices)
+    eff = rates[top] / rates[base]
+    coll_eff = coll_rates[top] / coll_rates[base]
     print(
         json.dumps(
             {
                 "metric": "weak_scaling_efficiency",
                 "value": round(eff, 3),
-                "unit": f"x{base}->{max(args.devices)}dev",
+                "unit": f"x{base}->{top}dev",
                 "vs_baseline": round(eff / 0.8, 3),  # target >= 0.8
+            }
+        )
+    )
+    # Structure evidence that works on a shared-core host: on N VIRTUAL
+    # devices all compute serializes onto the same cores, so wall-clock
+    # weak scaling is physically capped at cores/devices once saturated —
+    # the wall number cannot certify pod behavior. What CAN be read off:
+    # total cpu-seconds per timed run. Ideal weak scaling on real chips
+    # needs per-device work ~constant, i.e. total compute volume ~N. If
+    # cpu-seconds grow SUBLINEARLY in N, the virtual-mesh wall drop is
+    # per-step overhead/serialization, not collective volume; superlinear
+    # growth would implicate the collective graph itself (e.g. the ring
+    # exchange's O(N) hops per device — which is why it is N_eff-gated
+    # and why the collectives-only probe rings EVERY step as an upper
+    # bound).
+    work_growth = (
+        cpu_util[top] * rates[base] / (cpu_util[base] * rates[top])
+    )  # = cpu_seconds_per_scan(top) / cpu_seconds_per_scan(base)
+    host_bound = n_cores < top
+    if host_bound:
+        interp = (
+            f"host has {n_cores} cores for {top} virtual devices — wall "
+            f"efficiency is core-bound, not a pod prediction; compute "
+            f"volume per scan grew {work_growth:.2f}x for {top}x width "
+            + ("(sublinear: overhead-dominated, collective graph sound)"
+               if work_growth < 0.8 * top else
+               "(SUPERLINEAR in width: collective graph implicated)")
+        )
+    else:
+        interp = (
+            "collectives scale; full-step drop tracks host-core saturation"
+            if coll_eff >= 0.8 else
+            "collective graph implicated — see per-N lines"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "weak_scaling_evidence",
+                "collectives_only_efficiency": round(coll_eff, 3),
+                "cpu_seconds_per_scan_growth": round(work_growth, 2),
+                "width_growth": top // base,
+                "host_cpu_utilization": {
+                    str(k): round(v, 3) for k, v in cpu_util.items()
+                },
+                "host_cores": n_cores,
+                "host_bound": host_bound,
+                "interpretation": interp,
             }
         )
     )
