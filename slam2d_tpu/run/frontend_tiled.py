@@ -258,3 +258,20 @@ def _np_compose(a, d):
         [a[0] + c * d[0] - s * d[1], a[1] + s * d[0] + c * d[1],
          (a[2] + d[2] + np.pi) % (2 * np.pi) - np.pi]
     )
+
+
+def _np_compose_batch(a, D):
+    """_np_compose(a, d) for every row d of D [N, 3] -> [N, 3]."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.stack(
+        [a[0] + c * D[:, 0] - s * D[:, 1],
+         a[1] + s * D[:, 0] + c * D[:, 1],
+         (a[2] + D[:, 2] + np.pi) % (2 * np.pi) - np.pi],
+        axis=1,
+    ).astype(np.float32)
+
+
+def _np_inverse(a):
+    """SE(2) inverse: _np_compose(a, _np_inverse(a)) == identity."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array([-(c * a[0] + s * a[1]), s * a[0] - c * a[1], -a[2]])

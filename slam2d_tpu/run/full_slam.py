@@ -41,6 +41,8 @@ from slam2d_tpu.run.frontend_tiled import (
     _np_between,
     _np_between_batch,
     _np_compose,
+    _np_compose_batch,
+    _np_inverse,
 )
 
 
@@ -483,17 +485,22 @@ class LoopCloser:
         would have blocked them) and ones beyond it are re-issued against
         the corrected state.
 
-        Returns (cooldown | None, est, last_kf_pose | None): the driver
-        adopts a non-None cooldown / admission reference, and always the
-        returned est (unchanged when nothing was accepted)."""
+        Returns (cooldown | None, est, last_kf_pose | None, T_acc | None):
+        the driver adopts a non-None cooldown / admission reference,
+        always the returned est (unchanged when nothing was accepted),
+        and left-applies T_acc — the composed correction transform of
+        every accept in this drain — to any chunk outputs it dispatched
+        BEFORE this resolve but has not yet processed (the software-
+        pipelined fetch, see run_full_slam's loop)."""
         if not self.pending:
-            return None, est, None
+            return None, est, None, None
         outs = jax.device_get([a["outs"] for a in self.pending])
         batch = [(a, o) for a, o in zip(list(self.pending), outs)]
         self.pending.clear()
         accepted_k = None
         new_cooldown = None
         new_last_kf = None
+        T_acc = None
         reissue = []
         for a, (matched_rel, score, margin) in batch:
             if accepted_k is not None:
@@ -516,10 +523,13 @@ class LoopCloser:
             ):
                 continue
             attempt[6] = 1.0
-            est, new_last_kf = self._accept(
+            est, new_last_kf, Tc = self._accept(
                 a["i"], a["k_new"],
                 np.asarray(matched_rel, np.float32), float(score),
                 est, emitted_upto,
+            )
+            T_acc = Tc if T_acc is None else np.asarray(
+                _np_compose(Tc, T_acc), np.float32
             )
             accepted_k = a["k_new"]
             # sync-equivalent cooldown: keyframes admitted since the
@@ -531,7 +541,7 @@ class LoopCloser:
             )
         for a in reissue:
             self.issue(a["k_new"], a["scan_i"])
-        return new_cooldown, est, new_last_kf
+        return new_cooldown, est, new_last_kf, T_acc
 
     def _accept(self, i, k_new, z, score, est, emitted_upto):
         gcfg = self.gcfg
@@ -574,12 +584,20 @@ class LoopCloser:
         # pose. NOT the accepted keyframe k_new — by resolution time later
         # keyframes exist, and composing a k_new-relative delta onto
         # kf_poses[-1] would teleport the pose by their separation.
-        delta = _np_between(old_kf[-1], est)
-        est = np.asarray(_np_compose(self.kf_poses[-1], delta), np.float32)
+        # Expressed as a LEFT transform Tc = corrected_last ∘ old_last^-1
+        # so the driver can apply it to the live DEVICE pose (which, with
+        # the pipelined fetch, may already be a chunk ahead of `est`):
+        # Tc ∘ est == corrected_last ∘ (old_last^-1 ∘ est), the original
+        # keyframe-relative transport, by associativity.
+        Tc = np.asarray(
+            _np_compose(self.kf_poses[-1], _np_inverse(old_kf[-1])),
+            np.float32,
+        )
+        est = np.asarray(_np_compose(Tc, est), np.float32)
         # driver-specific tail: map rebuild + frontend-state patch; the
         # admission-gate reference rides with the same correction
-        self.apply_correction(est)
-        return est, self.kf_poses[-1].copy()
+        self.apply_correction(Tc)
+        return est, self.kf_poses[-1].copy(), Tc
 
 
 def run_full_slam(
@@ -682,11 +700,14 @@ def run_full_slam(
             graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
-    def apply_correction(est_np):
+    def apply_correction(corr_np):
         # rebuild the global map from all (corrected) keyframes and patch
-        # the live frontend
+        # the live frontend. `corr_np` is the LEFT correction transform
+        # (LoopCloser._accept): applied to the device pose it stays valid
+        # even when a pipelined chunk has advanced the pose past the est
+        # the host resolved against.
         nonlocal state
-        new_pose = jnp.asarray(est_np)
+        Tc = jnp.asarray(corr_np, jnp.float32)
         Kmax = graph_cfg.max_nodes
         poses_buf = np.zeros((Kmax, 3), np.float32)
         scans_buf = np.zeros((Kmax, ranges_np.shape[1]), np.float32)
@@ -699,6 +720,7 @@ def run_full_slam(
             jnp.asarray(poses_buf), jnp.asarray(scans_buf),
             jnp.asarray(mask_buf), n_active=nk,
         )
+        new_pose = se2.compose(Tc, state.pose)
         state = state._replace(
             logodds=new_grid,
             search_space=build_search_space(
@@ -716,35 +738,41 @@ def run_full_slam(
         cache_anchor=init_cache_anchor,
     )
 
-    # ---- main host loop over chunks ---------------------------------------
+    # ---- main host loop over chunks (software-pipelined fetch) ------------
+    # The tunnel round trip is ~25 ms FLAT, so a BLOCKING per-chunk
+    # trajectory fetch caps no-loop throughput regardless of payload size
+    # (fetching "only an admit mask" would cost the same RTT). Instead the
+    # loop dispatches chunk c, THEN drains chunk c-1's outputs — the fetch
+    # overlaps chunk c's device execution, hiding the RTT entirely when
+    # chunk compute > RTT. Keyframe admission / attempt issuance therefore
+    # run one chunk behind the device; loop-accept corrections patch the
+    # in-flight state as a LEFT transform (see apply_correction) and the
+    # same transform is left-applied to the not-yet-processed chunk's rows
+    # (pend_T) so admissions always see corrected poses.
     emitted_upto = -1   # last traj_out row written (run-local index)
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
-    # carried host copy of the frontend pose: the accept path used to
-    # re-fetch it per loop (a tunnel round trip); it now piggybacks on
-    # each chunk's trajectory fetch (same RPC)
     est = np.asarray(state.pose)
-    for s0 in range(0, T, K):
-        # drain last chunk's in-flight attempts FIRST: an accept patches
-        # the frontend state, which must land before this chunk's compute
-        cd, est, nl = closer.resolve(est, emitted_upto)
-        if cd is not None:
-            cooldown = cd
-        if nl is not None:
-            last_kf_pose = nl
-        o = odom_np[s0 : s0 + K]
-        r = ranges_np[s0 : s0 + K]
-        if len(o) < K:
-            pad = K - len(o)
-            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
-            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
-        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        tr, est = jax.device_get((tr, state.pose))
-        n_here = min(K, T - s0)
-        traj_out[s0 : s0 + n_here] = tr[:n_here]
+    pend = None          # dispatched-but-unprocessed chunk outputs
+    pend_T = None        # left transform owed to pend's rows
+
+    def process_pending():
+        nonlocal pend, pend_T, est, emitted_upto, last_kf_pose, cooldown
+        if pend is None:
+            return
+        tr, est_new = jax.device_get((pend["tr"], pend["pose"]))
+        n_here = pend["n"]
+        tr = np.asarray(tr)[:n_here]
+        est = np.asarray(est_new, np.float32)
+        if pend_T is not None:
+            tr = _np_compose_batch(pend_T, tr)
+            est = np.asarray(_np_compose(pend_T, est), np.float32)
+            pend_T = None
+        s0 = pend["s0"]
+        traj_out[s0 : s0 + n_here] = tr
         emitted_upto = s0 + n_here - 1
         if frame_cb is not None:
-            frame_cb(state.logodds, tr[:n_here])
+            frame_cb(pend["logodds"], tr)
 
         # keyframe admission over this chunk
         for t in range(n_here):
@@ -767,9 +795,41 @@ def run_full_slam(
                     cooldown -= 1
                 else:
                     closer.issue(k_new, scan_i)
+        pend = None
 
+    for s0 in range(0, T, K):
+        o = odom_np[s0 : s0 + K]
+        r = ranges_np[s0 : s0 + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+        # capture BEFORE resolve: an accept patches `state`, and these
+        # pre-patch device values then owe pend_T. The pose (and, for
+        # animation capture, the map) must be COPIED: chunk_fn donates its
+        # input state, so next iteration's dispatch deletes these buffers
+        # before process_pending reads them.
+        cand = {
+            "s0": s0, "n": min(K, T - s0), "tr": tr,
+            "pose": state.pose + 0.0,
+            "logodds": (state.logodds + 0) if frame_cb is not None else None,
+        }
+        process_pending()
+        cd, est, nl, T_acc = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
+        if T_acc is not None:
+            pend_T = T_acc if pend_T is None else np.asarray(
+                _np_compose(T_acc, pend_T), np.float32
+            )
+        pend = cand
+
+    process_pending()
     while closer.pending:   # drain fully: an accept can re-issue attempts
-        cd, est, nl = closer.resolve(est, emitted_upto)
+        cd, est, nl, _ = closer.resolve(est, emitted_upto)
         if cd is not None:
             cooldown = cd
         if nl is not None:

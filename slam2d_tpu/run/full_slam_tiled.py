@@ -31,6 +31,7 @@ from slam2d_tpu.match.correlative import build_search_space
 from slam2d_tpu.run.frontend_tiled import (
     _np_between,
     _np_compose,
+    _np_compose_batch,
     _param_grid_cfg,
     make_tiled_chunk_fn,
     tiled_frontend_init,
@@ -304,11 +305,13 @@ def run_full_slam_tiled(
             graph.add_edge(k - 1, k, z, np.eye(3) * odom_edge_info)
         return k
 
-    def apply_correction(est_np):
+    def apply_correction(corr_np):
         # activate tiles for corrected keyframes, rebuild both tile sets,
-        # and patch the live frontend
+        # and patch the live frontend. `corr_np` is the LEFT correction
+        # transform (LoopCloser._accept) — applied to the device pose it
+        # stays valid when a pipelined chunk has already advanced it.
         nonlocal state
-        new_pose = jnp.asarray(est_np)
+        Tc = jnp.asarray(corr_np, jnp.float32)
         need = required_tiles(np.stack(kf_poses)[:, :2], reach, tcfg)
         grid = table.activate(state.grid, need)
         nk = len(kf_poses)
@@ -323,6 +326,7 @@ def run_full_slam_tiled(
             grid.coords, jnp.asarray(poses_buf), jnp.asarray(scans_buf),
             jnp.asarray(mask_buf), n_active=nk,
         )
+        new_pose = se2.compose(Tc, state.pose)
         state = state._replace(
             grid=new_grid,
             sgrid=new_sgrid,
@@ -338,45 +342,36 @@ def run_full_slam_tiled(
         cache_anchor=init_cache_anchor,
     )
 
+    # ---- main host loop over chunks (software-pipelined fetch) ------------
+    # Same pipelining as run_full_slam: dispatch chunk c, THEN drain chunk
+    # c-1's outputs so the ~25 ms flat tunnel RTT overlaps device compute.
+    # The tile-activation forecast composes host-known ODOMETRY onto the
+    # last PROCESSED chunk's pose — one extra chunk of staleness is well
+    # inside `reach`'s margin (sensor range + search window vs ~meters of
+    # drift); loop-accept corrections land before the forecast via resolve.
     emitted_upto = -1   # last traj_out row written (run-local index)
     last_kf_pose = init_last_kf
     cooldown = init_cooldown
-    # carried host copies of (pose, prev_odom): the per-chunk forecast and
-    # the accept path used to re-fetch them from the device every chunk —
-    # each np.asarray is a full tunnel round trip. After a chunk, the pose
-    # piggybacks on the trajectory fetch (same RPC) and prev_odom is just
-    # the last odometry record the host itself fed in.
     est = np.asarray(state.pose)
     base = np.asarray(state.prev_odom)
-    for s0 in range(0, T, K):
-        # drain last chunk's in-flight attempts FIRST: an accept patches
-        # the frontend state, which must land before this chunk's compute
-        cd, est, nl = closer.resolve(est, emitted_upto)
-        if cd is not None:
-            cooldown = cd
-        if nl is not None:
-            last_kf_pose = nl
-        o = odom_np[s0 : s0 + K]
-        r = ranges_np[s0 : s0 + K]
-        if len(o) < K:
-            pad = K - len(o)
-            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
-            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+    pend = None          # dispatched-but-unprocessed chunk outputs
+    pend_T = None        # left transform owed to pend's rows
 
-        # tile activation forecast for this chunk (carried est/base)
-        fx = [
-            _np_compose(est, _np_between(base, o[t]))[:2] for t in range(len(o))
-        ]
-        need = required_tiles(np.asarray(fx), reach, tcfg)
-        grid = table.activate(state.grid, need)
-        sgrid = state.sgrid._replace(coords=grid.coords + 0)
-        state = state._replace(grid=grid, sgrid=sgrid)
-
-        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
-        tr, est = jax.device_get((tr, state.pose))
-        base = o[-1]
-        n_here = min(K, T - s0)
-        traj_out[s0 : s0 + n_here] = tr[:n_here]
+    def process_pending():
+        nonlocal pend, pend_T, est, base, emitted_upto, last_kf_pose, cooldown
+        if pend is None:
+            return
+        tr, est_new = jax.device_get((pend["tr"], pend["pose"]))
+        n_here = pend["n"]
+        tr = np.asarray(tr)[:n_here]
+        est = np.asarray(est_new, np.float32)
+        base = pend["base"]
+        if pend_T is not None:
+            tr = _np_compose_batch(pend_T, tr)
+            est = np.asarray(_np_compose(pend_T, est), np.float32)
+            pend_T = None
+        s0 = pend["s0"]
+        traj_out[s0 : s0 + n_here] = tr
         emitted_upto = s0 + n_here - 1
 
         for t in range(n_here):
@@ -397,9 +392,48 @@ def run_full_slam_tiled(
                     cooldown -= 1
                 else:
                     closer.issue(k_new, scan_i)
+        pend = None
 
+    for s0 in range(0, T, K):
+        o = odom_np[s0 : s0 + K]
+        r = ranges_np[s0 : s0 + K]
+        if len(o) < K:
+            pad = K - len(o)
+            o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+
+        # tile activation forecast for this chunk (est/base from the last
+        # PROCESSED chunk; odometry bridges the in-flight one)
+        fx = [
+            _np_compose(est, _np_between(base, o[t]))[:2] for t in range(len(o))
+        ]
+        need = required_tiles(np.asarray(fx), reach, tcfg)
+        grid = table.activate(state.grid, need)
+        sgrid = state.sgrid._replace(coords=grid.coords + 0)
+        state = state._replace(grid=grid, sgrid=sgrid)
+
+        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+        # pose copied: chunk_fn donates its input state, so the next
+        # dispatch deletes the captured buffer before process_pending
+        cand = {
+            "s0": s0, "n": min(K, T - s0), "tr": tr,
+            "pose": state.pose + 0.0, "base": o[-1],
+        }
+        process_pending()
+        cd, est, nl, T_acc = closer.resolve(est, emitted_upto)
+        if cd is not None:
+            cooldown = cd
+        if nl is not None:
+            last_kf_pose = nl
+        if T_acc is not None:
+            pend_T = T_acc if pend_T is None else np.asarray(
+                _np_compose(T_acc, pend_T), np.float32
+            )
+        pend = cand
+
+    process_pending()
     while closer.pending:   # drain fully: an accept can re-issue attempts
-        cd, est, nl = closer.resolve(est, emitted_upto)
+        cd, est, nl, _ = closer.resolve(est, emitted_upto)
         if cd is not None:
             cooldown = cd
         if nl is not None:

@@ -38,7 +38,8 @@ def make_closer(n_kf=20):
     accepts = []
     reissues = []
     closer._accept = lambda i, k, z, sc, est, upto: (
-        accepts.append((i, k)) or (est, closer.kf_poses[-1].copy())
+        accepts.append((i, k))
+        or (est, closer.kf_poses[-1].copy(), np.zeros(3, np.float32))
     )
     closer.issue = lambda k_new, scan_i: reissues.append(k_new)
     return closer, accepts, reissues
@@ -66,7 +67,7 @@ def test_gates_reject_and_record():
         entry(7, score=0.9, corr=(2.0, 0, 0)),    # xy plausibility gate
         entry(8, score=0.9, corr=(0, 0, 0.9)),    # theta plausibility gate
     ]
-    cd, est, nl = closer.resolve(np.zeros(3, np.float32), 50)
+    cd, est, nl, _T = closer.resolve(np.zeros(3, np.float32), 50)
     assert accepts == []
     assert cd is None and nl is None
     rec = np.asarray(closer.attempt_records)
@@ -82,7 +83,7 @@ def test_first_accept_wins_drop_and_reissue():
         entry(14, score=0.9),                     # 14-12=2 <= cooldown: drop
         entry(16, score=0.9),                     # 16-12=4 > cooldown: reissue
     ]
-    cd, est, nl = closer.resolve(np.zeros(3, np.float32), 50)
+    cd, est, nl, _T = closer.resolve(np.zeros(3, np.float32), 50)
     assert accepts == [(0, 12)]
     assert reissues == [16]
     # dropped/reissued attempts are NOT recorded (the synchronous
@@ -99,13 +100,13 @@ def test_first_accept_wins_drop_and_reissue():
 def test_cooldown_backdating_partial():
     closer, accepts, _ = make_closer(n_kf=14)     # last keyframe index 13
     closer.pending = [entry(12, score=0.9)]
-    cd, est, nl = closer.resolve(np.zeros(3, np.float32), 50)
+    cd, est, nl, _T = closer.resolve(np.zeros(3, np.float32), 50)
     assert accepts == [(0, 12)]
     assert cd == GCFG.loop_cooldown - 1           # one keyframe admitted since
 
 
 def test_empty_pending_noop():
     closer, accepts, _ = make_closer()
-    cd, est, nl = closer.resolve(np.ones(3, np.float32), 50)
+    cd, est, nl, _T = closer.resolve(np.ones(3, np.float32), 50)
     assert cd is None and nl is None
     np.testing.assert_array_equal(est, np.ones(3, np.float32))
