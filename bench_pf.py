@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--map-dtype", default="bfloat16")
     ap.add_argument("--refine-chunk", type=int, default=0)
     ap.add_argument("--update-impl", default="auto")
+    ap.add_argument("--ungated", action="store_true",
+                    help="time the single-program lax.cond chunk form "
+                         "instead of the host-gated dispatch (comparison)")
     args = ap.parse_args()
 
     cfg = FrontendConfig(
@@ -62,25 +65,38 @@ def main():
     T = (len(odom) // cfg.chunk) * cfg.chunk
     n_chunks = T // cfg.chunk
 
-    state = fastslam_init(cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0])
-    state = state._replace(prev_odom=odom[0] + 0.0)
-    chunk_fn = make_pf_chunk_fn(cfg, pf)
-
-    state, out = chunk_fn(state, odom[: cfg.chunk], ranges[: cfg.chunk])
-    np.asarray(out[0])  # hard sync
-
-    t0 = time.perf_counter()
-    done = 0
-    for i in range(1, n_chunks):
-        s = i * cfg.chunk
-        state, out = chunk_fn(
-            state, odom[s : s + cfg.chunk], ranges[s : s + cfg.chunk]
+    if args.ungated:
+        state = fastslam_init(
+            cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0]
         )
-        done += cfg.chunk
-    np.asarray(out[0])
-    dt = time.perf_counter() - t0
+        state = state._replace(prev_odom=odom[0] + 0.0)
+        chunk_fn = make_pf_chunk_fn(cfg, pf)
 
-    rate = done / dt
+        state, out = chunk_fn(state, odom[: cfg.chunk], ranges[: cfg.chunk])
+        np.asarray(out[0])  # hard sync
+
+        t0 = time.perf_counter()
+        done = 0
+        for i in range(1, n_chunks):
+            s = i * cfg.chunk
+            state, out = chunk_fn(
+                state, odom[s : s + cfg.chunk], ranges[s : s + cfg.chunk]
+            )
+            done += cfg.chunk
+        np.asarray(out[0])
+        dt = time.perf_counter() - t0
+        rate = done / dt
+    else:
+        # host-gated dispatch: one full warmup run compiles every stage
+        # variant (heavy RU/R/U/boot + the light chunk), the second run
+        # is timed end to end (np outputs of run_fastslam ARE the sync)
+        from slam2d_tpu.run.fastslam_run import run_fastslam
+
+        run_fastslam(log, cfg, pf, seed=0)
+        t0 = time.perf_counter()
+        run_fastslam(log, cfg, pf, seed=0)
+        dt = time.perf_counter() - t0
+        rate = len(log["odom"]) / dt
     print(
         json.dumps(
             {

@@ -16,6 +16,8 @@ the N_eff trigger.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -171,6 +173,218 @@ def fastslam_init(cfg: FrontendConfig, pf: PFConfig, rng, start_pose=None):
     )
 
 
+def host_gate_flags(odom, cfg: FrontendConfig, prev_odom, dist0=0.0,
+                    since_u0=0.0, since_m0=0.0):
+    """Host mirror of fastslam_step's motion gates (all odometry-derived).
+
+    Measured motivation (scripts/bench_pf1000_parts.py, P=1000 bf16): a
+    scan where NO stage fires still cost 3.43 ms — the two lax.cond joins
+    whose branches return the full [P, H, W] stack each force a full-stack
+    copy on the identity path. The gates are pure functions of odometry,
+    which the HOST streams in — so the host can decide per scan which
+    stages fire and dispatch stage-specialized programs with no map-shaped
+    cond at all (see run_fastslam's host-gated path).
+
+    `prev_odom` is the record preceding odom[0] (the state's carried
+    prev_odom — for fresh starts the driver sets it to odom[0], for
+    resumed runs it is the previous segment's last record). Accumulators
+    start from the (possibly checkpoint-restored) state's scalars.
+
+    Returns [T, 3] bool (do_refine, do_update, in_boot)."""
+    import numpy as np
+
+    odom = np.asarray(odom, np.float32)
+    T = len(odom)
+    flags = np.zeros((T, 3), bool)
+    dist = np.float32(dist0)
+    su = np.float32(since_u0)
+    sm = np.float32(since_m0)
+    prev = np.asarray(prev_odom, np.float32)
+    ratio = np.float32(cfg.match_min_motion / max(cfg.match_min_rot, 1e-6))
+    for t in range(len(odom)):
+        o = odom[t]
+        dx, dy = o[0] - prev[0], o[1] - prev[1]
+        # identical op set to se2.between: rotate into prev's frame first
+        c, s = np.cos(prev[2], dtype=np.float32), np.sin(prev[2], dtype=np.float32)
+        bx = c * dx + s * dy
+        by = -s * dx + c * dy
+        step_len = np.float32(np.hypot(bx, by))
+        dth = np.float32((o[2] - prev[2] + np.pi) % (2 * np.pi) - np.pi)
+        in_boot = bool(dist < cfg.bootstrap_dist)
+        sm = np.float32(sm + step_len + np.abs(dth) * ratio)
+        do_refine = (not in_boot) and bool(sm >= cfg.match_min_motion)
+        if do_refine:
+            sm = np.float32(0.0)
+        su = np.float32(su + step_len)
+        do_update = in_boot or bool(su >= cfg.map_update_min_motion)
+        if do_update:
+            su = np.float32(0.0)
+        dist = np.float32(dist + step_len)
+        flags[t] = (do_refine, do_update, in_boot)
+        prev = o
+    return flags
+
+
+def _refine_all(state_logodds, ranges, priors, cfg, pf):
+    """The refine computation shared by fastslam_step and the host-gated
+    heavy step: (matched [P,3], scores [P])."""
+    P = pf.n_particles
+    mcfg = refine_matcher(cfg, pf)
+    mode = _resolve_refine_mode(pf, mcfg, P)
+    if mode == "shared":
+        from slam2d_tpu.pf.shared_refine import shared_refine
+
+        return shared_refine(state_logodds, ranges, priors, cfg, mcfg, pf)
+    batched = jax.vmap(
+        lambda g, p: _windowed_match(g, ranges, p, cfg, mcfg)
+    )
+    if pf.refine_chunk and P > pf.refine_chunk:
+        assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
+        nc = P // pf.refine_chunk
+        Hg, Wg = state_logodds.shape[-2:]
+        g_ = state_logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
+        p_ = priors.reshape(nc, pf.refine_chunk, 3)
+        matched, scores = jax.lax.map(
+            lambda args: batched(args[0], args[1]), (g_, p_)
+        )
+        return matched.reshape(P, 3), scores.reshape(P)
+    return batched(state_logodds, priors)
+
+
+def _update_all(logodds, poses, ranges, cfg, pf):
+    """The map-update computation shared by fastslam_step and the
+    host-gated heavy step."""
+    P = pf.n_particles
+    batched_upd = jax.vmap(lambda g, p: _windowed_update(g, p, ranges, cfg))
+    if pf.refine_chunk and P > pf.refine_chunk:
+        nc = P // pf.refine_chunk
+        Hg, Wg = logodds.shape[-2:]
+        g_ = logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
+        p_ = poses.reshape(nc, pf.refine_chunk, 3)
+        out = jax.lax.map(
+            lambda args: batched_upd(args[0], args[1]), (g_, p_)
+        )
+        return out.reshape(P, Hg, Wg)
+    return batched_upd(logodds, poses)
+
+
+@functools.cache
+def make_heavy_step(cfg: FrontendConfig, pf: PFConfig, refine: bool,
+                    update: bool, boot: bool):
+    """Stage-specialized per-scan step for the host-gated driver: the
+    motion gates are STATIC (host-decided), so no map-shaped lax.cond
+    exists and the donated [P, H, W] stack updates in place. Only the
+    resample trigger (a function of device data, n_eff) remains a cond."""
+    P = pf.n_particles
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: PFState, odom, ranges):
+        rng, k_noise, k_resample = jax.random.split(state.rng, 3)
+        delta = se2.between(state.prev_odom, odom)
+        step_len = jnp.hypot(delta[0], delta[1])
+        rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+            cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+        )
+        since_m = state.since_match + step_len + rot_equiv
+
+        if refine:
+            noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
+                [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+            )
+            priors = se2.compose(state.poses, delta[None, :] + noise)
+            poses, scores = _refine_all(
+                state.logodds, ranges, priors, cfg, pf
+            )
+            log_w = state.log_w + pf.weight_sharpness * scores
+            log_w = log_w - jax.scipy.special.logsumexp(log_w)
+            since_m = jnp.float32(0.0)
+        elif boot:
+            noise = jax.random.normal(k_noise, (P, 3)) * jnp.asarray(
+                [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
+            )
+            poses = se2.compose(state.poses, delta[None, :] + noise)
+            log_w = state.log_w
+            scores = jnp.full((P,), -1.0, jnp.float32)
+        else:
+            poses = se2.compose(state.poses, delta[None, :])
+            log_w = state.log_w
+            scores = jnp.full((P,), -1.0, jnp.float32)
+
+        since = state.since_update + step_len
+        if update:
+            logodds = _update_all(state.logodds, poses, ranges, cfg, pf)
+            since = jnp.float32(0.0)
+        else:
+            logodds = state.logodds
+
+        n_eff = effective_sample_size(log_w)
+        if refine:
+            do_resample = n_eff < pf.resample_threshold * P
+
+            def resample_branch(args):
+                lo, po, lw = args
+                u = jax.random.uniform(k_resample)
+                ancestors = systematic_ancestors(lw, u)
+                return (
+                    _resample_copy(lo, ancestors),
+                    po[ancestors],
+                    jnp.full((P,), -jnp.log(P), lw.dtype),
+                )
+
+            logodds, poses, log_w = jax.lax.cond(
+                do_resample, resample_branch, lambda a: a,
+                (logodds, poses, log_w),
+            )
+
+        best = jnp.argmax(log_w)
+        dist = state.dist + step_len
+        new_state = PFState(
+            logodds, poses, log_w, odom, rng, dist, since, since_m
+        )
+        return new_state, (poses[best], n_eff, scores[best])
+
+    return step
+
+
+@functools.cache
+def make_light_chunk(cfg: FrontendConfig, pf: PFConfig, seg_len: int):
+    """Dead-reckoning run over up to seg_len consecutive NO-STAGE scans:
+    carries ONLY the small state (the map stack is never an argument, so
+    light scans cost zero HBM traffic on it). Padded records (i >= n_valid,
+    repeats of the last odom) are natural no-ops except the RNG split,
+    which is masked so the stream matches the ungated step exactly."""
+
+    @jax.jit
+    def run(poses, log_w, rng, prev_odom, dist, since_u, since_m,
+            odom_seg, n_valid):
+        best = jnp.argmax(log_w)
+        n_eff = effective_sample_size(log_w)
+
+        def body(c, inp):
+            i, o = inp
+            poses, rng, prev, dist, su, sm = c
+            rng2, _, _ = jax.random.split(rng, 3)
+            rng = jnp.where(i < n_valid, rng2, rng)
+            delta = se2.between(prev, o)
+            step_len = jnp.hypot(delta[0], delta[1])
+            rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+                cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+            )
+            poses = se2.compose(poses, delta[None, :])
+            c2 = (poses, rng, o, dist + step_len, su + step_len,
+                  sm + step_len + rot_equiv)
+            return c2, poses[best]
+
+        (poses, rng, prev, dist, su, sm), bp = jax.lax.scan(
+            body,
+            (poses, rng, prev_odom, dist, since_u, since_m),
+            (jnp.arange(seg_len, dtype=jnp.int32), odom_seg),
+        )
+        return poses, rng, prev, dist, su, sm, bp, n_eff
+
+    return run
+
+
 def pf_state_template(cfg: FrontendConfig, pf: PFConfig) -> PFState:
     """Host (numpy) PFState with the run's shapes/dtypes — the checkpoint
     restore target (SURVEY.md §7 "particle state"). Never touches a device:
@@ -245,31 +459,7 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
             [pf.noise_xy, pf.noise_xy, pf.noise_theta], jnp.float32
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
-        mcfg = refine_matcher(cfg, pf)
-        mode = _resolve_refine_mode(pf, mcfg, P)
-        if mode == "shared":
-            from slam2d_tpu.pf.shared_refine import shared_refine
-
-            matched, scores = shared_refine(
-                state.logodds, ranges, priors, cfg, mcfg, pf
-            )
-        else:
-            batched = jax.vmap(
-                lambda g, p: _windowed_match(g, ranges, p, cfg, mcfg)
-            )
-            if pf.refine_chunk and P > pf.refine_chunk:
-                assert P % pf.refine_chunk == 0, (P, pf.refine_chunk)
-                nc = P // pf.refine_chunk
-                Hg, Wg = state.logodds.shape[-2:]
-                g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
-                p_ = priors.reshape(nc, pf.refine_chunk, 3)
-                matched, scores = jax.lax.map(
-                    lambda args: batched(args[0], args[1]), (g_, p_)
-                )
-                matched = matched.reshape(P, 3)
-                scores = scores.reshape(P)
-            else:
-                matched, scores = batched(state.logodds, priors)
+        matched, scores = _refine_all(state.logodds, ranges, priors, cfg, pf)
         # log-space likelihood-field weights; the softmax-normalization
         # makes the additive offset of the score range irrelevant
         log_w = state.log_w + pf.weight_sharpness * scores
@@ -295,22 +485,10 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
     do_update = in_boot | (since >= cfg.map_update_min_motion)
 
     def update_branch(_):
-        batched_upd = jax.vmap(
-            lambda g, p: _windowed_update(g, p, ranges, cfg)
-        )
-        # chunk like the refinement: the TPU matmul-accumulation update
+        # chunked like the refinement: the TPU matmul-accumulation update
         # materializes ~13 MB of one-hot operands per particle — unchunked
         # at 1000+ particles that exceeds HBM
-        if pf.refine_chunk and P > pf.refine_chunk:
-            nc = P // pf.refine_chunk
-            Hg, Wg = state.logodds.shape[-2:]
-            g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
-            p_ = poses.reshape(nc, pf.refine_chunk, 3)
-            out = jax.lax.map(
-                lambda args: batched_upd(args[0], args[1]), (g_, p_)
-            )
-            return out.reshape(P, Hg, Wg)
-        return batched_upd(state.logodds, poses)
+        return _update_all(state.logodds, poses, ranges, cfg, pf)
 
     logodds = jax.lax.cond(
         do_update, update_branch, lambda _: state.logodds, None

@@ -1,5 +1,21 @@
 """FastSLAM driver (SURVEY.md §5.2, config 3): host streams chunks, device
-runs `lax.scan` over jitted vmapped particle steps."""
+runs `lax.scan` over jitted vmapped particle steps.
+
+Two execution strategies:
+
+- HOST-GATED (default): the motion gates are pure functions of odometry,
+  which the host streams in — so the host decides per scan which stages
+  fire and dispatches stage-specialized programs (make_heavy_step) plus a
+  dead-reckoning run (make_light_chunk) that never touches the map stack.
+  Measured motivation at P=1000 bf16 512² (scripts/bench_pf1000_parts.py):
+  the ungated step's two map-shaped lax.cond joins cost 3.43 ms/scan even
+  when NOTHING fires (a full-stack copy per identity join). Dispatches
+  pipeline (no blocking fetches), so the extra per-scan dispatch count is
+  host-side enqueue cost only.
+- UNGATED (host_gated=False): one jitted lax.scan chunk with lax.cond
+  gates — the sharded driver's structure (where gates must be SPMD-safe
+  replicated predicates), kept for comparison and as the shard_map form.
+"""
 
 from __future__ import annotations
 
@@ -10,7 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
-from slam2d_tpu.pf.fastslam import PFState, fastslam_init, fastslam_step
+from slam2d_tpu.pf.fastslam import (
+    PFState,
+    fastslam_init,
+    fastslam_step,
+    host_gate_flags,
+    make_heavy_step,
+    make_light_chunk,
+)
 
 
 @functools.cache
@@ -28,6 +51,89 @@ def make_pf_chunk_fn(cfg: FrontendConfig, pf: PFConfig):
     return chunk_fn
 
 
+LIGHT_SEG = 16   # static length of the dead-reckoning light run
+
+
+def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb):
+    """Host-gated execution (module docstring). Stage patterns are decided
+    from odometry on the host; the step programs carry no map-shaped cond."""
+    T = len(odom)
+    # gate accumulators from the (possibly restored) state: one fetch
+    dist0, su0, sm0, prev0 = jax.device_get(
+        (state.dist, state.since_update, state.since_match, state.prev_odom)
+    )
+    flags = host_gate_flags(odom, cfg, prev0, dist0, su0, sm0)
+    light_fn = make_light_chunk(cfg, pf, LIGHT_SEG)
+
+    bps, nes, scs = [], [], []
+    frame_buf: list = []   # host rows awaiting the next frame (opt-in cost)
+
+    def emit_frame_maybe(latest):
+        if frame_cb is None:
+            return
+        frame_buf.append(np.atleast_2d(np.asarray(latest)))
+        if sum(len(x) for x in frame_buf) >= cfg.chunk:
+            best_map = jnp.take(
+                state.logodds, jnp.argmax(state.log_w), axis=0
+            )
+            frame_cb(best_map, np.concatenate(frame_buf))
+            frame_buf.clear()
+
+    t = 0
+    while t < T:
+        do_refine, do_update, in_boot = flags[t]
+        if do_refine or do_update or in_boot:
+            step = make_heavy_step(
+                cfg, pf, bool(do_refine), bool(do_update), bool(in_boot)
+            )
+            state, (bp, ne, sc) = step(
+                state, jnp.asarray(odom[t]), jnp.asarray(ranges[t])
+            )
+            bps.append(bp[None] if bp.ndim == 1 else bp)
+            nes.append(ne[None])
+            scs.append(sc[None])
+            emit_frame_maybe(bps[-1])
+            t += 1
+        else:
+            n = 1
+            while (
+                n < LIGHT_SEG and t + n < T and not flags[t + n].any()
+            ):
+                n += 1
+            seg = odom[t : t + n]
+            if n < LIGHT_SEG:
+                seg = np.concatenate(
+                    [seg, np.repeat(seg[-1:], LIGHT_SEG - n, axis=0)]
+                )
+            poses, rng, prev, dist, su, sm, bp, ne = light_fn(
+                state.poses, state.log_w, state.rng, state.prev_odom,
+                state.dist, state.since_update, state.since_match,
+                jnp.asarray(seg), jnp.int32(n),
+            )
+            state = state._replace(
+                poses=poses, rng=rng, prev_odom=prev, dist=dist,
+                since_update=su, since_match=sm,
+            )
+            bps.append(bp[:n])
+            nes.append(jnp.full((n,), 1.0, jnp.float32) * ne)
+            scs.append(jnp.full((n,), -1.0, jnp.float32))
+            emit_frame_maybe(bps[-1])
+            t += n
+
+    if frame_cb is not None and frame_buf:   # flush the tail frame
+        best_map = jnp.take(state.logodds, jnp.argmax(state.log_w), axis=0)
+        frame_cb(best_map, np.concatenate(frame_buf))
+        frame_buf.clear()
+
+    bps, nes, scs = jax.device_get((bps, nes, scs))
+    return (
+        state,
+        np.concatenate([np.atleast_2d(b) for b in bps])[:T],
+        np.concatenate([np.atleast_1d(n) for n in nes])[:T],
+        np.concatenate([np.atleast_1d(s) for s in scs])[:T],
+    )
+
+
 def run_fastslam(
     log: dict,
     cfg: FrontendConfig,
@@ -35,12 +141,17 @@ def run_fastslam(
     seed: int = 0,
     state: PFState | None = None,
     frame_cb=None,
+    host_gated: bool | None = None,
 ):
     """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T]).
 
     `frame_cb(logodds, traj_chunk)` captures the BEST particle's map at
     each chunk boundary for animation export (fetches one [H, W] map per
-    chunk — leave None on throughput runs)."""
+    chunk — leave None on throughput runs).
+
+    `host_gated` (default True) selects the stage-specialized dispatch
+    strategy — see the module docstring; False keeps the single-program
+    lax.cond form."""
     odom = np.asarray(log["odom"], np.float32)
     ranges = np.asarray(log["ranges"], np.float32)
     T = len(odom)
@@ -51,6 +162,12 @@ def run_fastslam(
             cfg, pf, jax.random.PRNGKey(seed), start_pose=odom[0]
         )
         state = state._replace(prev_odom=jnp.asarray(odom[0]))
+    if host_gated is None:
+        host_gated = True
+    if host_gated:
+        return _run_fastslam_host_gated(
+            odom, ranges, cfg, pf, state, frame_cb
+        )
     chunk_fn = make_pf_chunk_fn(cfg, pf)
 
     trajs, neffs, scores = [], [], []

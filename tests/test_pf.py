@@ -134,3 +134,33 @@ def test_refine_chunking_matches_unchunked():
     # O(1e-6) score noise compounds through argmax/subpeak over the run
     np.testing.assert_allclose(t_a, t_b, atol=1e-3)
     np.testing.assert_allclose(n_a, n_b, atol=0.05)
+
+
+def test_host_gated_matches_ungated():
+    """The host-gated dispatch strategy (stage-specialized programs, no
+    map-shaped lax.cond) must reproduce the ungated lax.scan step: the
+    host gate mirror replays the device gate logic on odometry and the
+    RNG stream is split identically per scan (pads masked)."""
+    from slam2d_tpu.run.fastslam_run import run_fastslam
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=60, max_range=10.0),
+        grid=GridConfig(height=160, width=160, resolution=0.1,
+                        ray_samples=96, center_x=6.0, center_y=6.0),
+        matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=7),
+        chunk=8,
+    )
+    pf = PFConfig(n_particles=8, refine_mode="per_particle")
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    log = simulate_log(world, wp, cfg.sensor, step=0.2, seed=4)
+
+    s1, tr1, ne1, sc1 = run_fastslam(log, cfg, pf, seed=1, host_gated=False)
+    s2, tr2, ne2, sc2 = run_fastslam(log, cfg, pf, seed=1, host_gated=True)
+
+    np.testing.assert_allclose(tr2, tr1, atol=1e-4)
+    np.testing.assert_allclose(ne2, ne1, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(s2.logodds, np.float32),
+        np.asarray(s1.logodds, np.float32), atol=1e-3,
+    )

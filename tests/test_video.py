@@ -85,5 +85,8 @@ def test_fastslam_video_hook(tmp_path):
     rec = VideoRecorder(str(tmp_path / "pf.gif"), CFG.grid, fps=5)
     pf = PFConfig(n_particles=4, refine_mode="per_particle")
     run_fastslam(log, CFG, pf, seed=0, frame_cb=rec.add)
-    assert len(rec.frames) == -(-len(log["odom"]) // CFG.chunk)
+    # host-gated dispatch emits frames at >= chunk-row boundaries (a light
+    # segment can overshoot), plus a tail flush — allow +-1 of ceil(T/K)
+    expect = -(-len(log["odom"]) // CFG.chunk)
+    assert abs(len(rec.frames) - expect) <= 1, (len(rec.frames), expect)
     rec.save()
