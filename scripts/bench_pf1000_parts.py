@@ -38,29 +38,44 @@ from slam2d_tpu.run.fastslam_run import make_pf_chunk_fn
 BIG = 1e9
 
 
-def bench_variant(name, cfg, pf, log, n_chunks=8):
-    odom = jnp.asarray(log["odom"])
-    ranges = jnp.asarray(log["ranges"])
+def bench_variant(name, cfg, pf, log, n_chunks=8, host_gated=True):
     K = cfg.chunk
-    state = fastslam_init(cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0])
-    state = state._replace(prev_odom=odom[0] + 0.0)
-    chunk_fn = make_pf_chunk_fn(cfg, pf)
+    if not host_gated:
+        odom = jnp.asarray(log["odom"])
+        ranges = jnp.asarray(log["ranges"])
+        state = fastslam_init(
+            cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0]
+        )
+        state = state._replace(prev_odom=odom[0] + 0.0)
+        chunk_fn = make_pf_chunk_fn(cfg, pf)
 
-    state, out = chunk_fn(state, odom[:K], ranges[:K])
-    np.asarray(out[0])
-    # skip the bootstrap region so gates behave steady-state
-    s0 = 4 * K
-    state, out = chunk_fn(state, odom[s0 - K : s0], ranges[s0 - K : s0])
-    np.asarray(out[0])
+        state, out = chunk_fn(state, odom[:K], ranges[:K])
+        np.asarray(out[0])
+        s0 = 4 * K
+        state, out = chunk_fn(state, odom[s0 - K : s0], ranges[s0 - K : s0])
+        np.asarray(out[0])
 
-    t0 = time.perf_counter()
-    done = 0
-    for i in range(n_chunks):
-        s = s0 + i * K
-        state, out = chunk_fn(state, odom[s : s + K], ranges[s : s + K])
-        done += K
-    np.asarray(out[0])
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        done = 0
+        for i in range(n_chunks):
+            s = s0 + i * K
+            state, out = chunk_fn(state, odom[s : s + K], ranges[s : s + K])
+            done += K
+        np.asarray(out[0])
+        dt = time.perf_counter() - t0
+    else:
+        from slam2d_tpu.run.fastslam_run import run_fastslam
+
+        # warmup segment long enough to leave bootstrap and compile every
+        # stage variant; timed segment continues from its state
+        s0 = max(8 * K, 256)
+        done = n_chunks * K
+        first = {k: v[:s0] for k, v in log.items()}
+        second = {k: v[s0 : s0 + done] for k, v in log.items()}
+        state, _, _, _ = run_fastslam(first, cfg, pf, seed=0)
+        t0 = time.perf_counter()
+        run_fastslam(second, cfg, pf, state=state)
+        dt = time.perf_counter() - t0
     ms = dt / done * 1e3
     print(json.dumps({
         "variant": name, "ms_per_scan": round(ms, 3),

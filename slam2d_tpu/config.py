@@ -60,7 +60,10 @@ class GridConfig:
     # see integrate_scan's docstring for why the frontend keeps sparse).
     # Explicit overrides: "sparse" (always scatter), "sparse_mxu" (always
     # matmul), "dense" (XLA inverse-sensor-model; slow beam-table
-    # gathers), "pallas" (Pallas dense kernel everywhere).
+    # gathers), "pallas" (Pallas dense ISM kernel everywhere),
+    # "pallas_ray" (Pallas closed-form sampled-ray semantics: chord-
+    # length free evidence + exact endpoint-cell occ — matches the sparse
+    # paths' marks), "pallas_hybrid" (ISM wedge free + exact occ).
     update_impl: str = "auto"
 
     @property

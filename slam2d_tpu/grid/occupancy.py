@@ -315,13 +315,17 @@ def integrate_scan(
             cfg.origin_y
             + origin_rc[0].astype(jnp.float32) * cfg.resolution,
         )
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_ray", "pallas_hybrid"):
         from slam2d_tpu.ops.pallas_update import pallas_dense_update
 
+        variant = {
+            "pallas": "ism", "pallas_ray": "ray", "pallas_hybrid": "hybrid",
+        }[impl]
         return pallas_dense_update(
             logodds, pose, ranges, cfg, sensor, enable=enable,
             origin_xy=origin_xy,
             interpret=_jax.default_backend() != "tpu",
+            variant=variant,
         )
     if impl == "dense":
         return raycast_update_dense(

@@ -96,6 +96,7 @@ def _update_kernel(
     scalars_ref,  # [8] SMEM f32: pose_x, pose_y, pose_theta, ox, oy, enable
     r_hit_ref,    # [B] SMEM f32: range if hit else -1
     rmin3_ref,    # [B] SMEM f32: neighborhood-min range if valid else -1
+    rays_ref,     # [8, B] SMEM f32: exact-ray tables (see wrapper) or [1,1]
     g_ref,        # [BH, W] VMEM: log-odds block
     out_ref,      # [BH, W] VMEM
     *,
@@ -108,6 +109,8 @@ def _update_kernel(
     l_free: float,
     l_occ: float,
     l_clamp: float,
+    free_ray: bool = False,
+    occ_exact: bool = False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -170,23 +173,64 @@ def _update_kernel(
 
     def chunk(bu, carry):
         free, occ = carry
-        free_b = None
-        occ_b = None
-        # booleans OR-accumulate within the unrolled chunk; one convert +
-        # max folds the chunk into the f32 loop carry (Mosaic vector-mask
-        # loop carries don't compile, and this amortizes the conversion)
+        free_acc = None
+        occ_acc = None
+        # Inverse-sensor-model tests OR-accumulate booleans within the
+        # unrolled chunk; one convert + max folds the chunk into the f32
+        # loop carry (Mosaic vector-mask loop carries don't compile, and
+        # this amortizes the conversion). The exact-ray variants
+        # accumulate FLOATS instead (path length / per-beam endpoint
+        # stacking — the sparse sampled-ray semantics).
         for k in range(_UNROLL):
             b = bu * _UNROLL + k
             ab = b.astype(jnp.float32) * step
-            dphi = jnp.abs(phi - ab)
-            r_b = r_hit_ref[b]
-            rm = rmin3_ref[b] - resolution
-            f = (dphi <= half_slot) & (d < rm)
-            o = (dphi <= tol_d) & (jnp.abs(d - r_b) <= occ_tol)
-            free_b = f if free_b is None else free_b | f
-            occ_b = o if occ_b is None else occ_b | o
-        free = jnp.maximum(free, free_b.astype(jnp.float32))
-        occ = jnp.maximum(occ, occ_b.astype(jnp.float32))
+            dphi = (
+                jnp.abs(phi - ab) if (not free_ray or not occ_exact)
+                else None
+            )
+            if free_ray:
+                # exact chord of beam b's ray through each cell square:
+                # cross-track trapezoid L(ct) (plateau res/max|dir|,
+                # ramp slope 1/(|dx||dy|)), truncated to [0, r_free]
+                # along-track — the closed form of what the sparse
+                # path's point sampling counts (tables built in wrapper)
+                dx = rays_ref[0, b]
+                dy = rays_ref[1, b]
+                w = rays_ref[2, b]     # valid / max(res, spacing)
+                cm = rays_ref[3, b]
+                hf = rays_ref[4, b]
+                ia = rays_ref[5, b]
+                rf = rays_ref[6, b]
+                t = cx * dx + cy * dy
+                ct = jnp.abs(cx * dy - cy * dx)
+                L = jnp.maximum(jnp.minimum(cm, (hf - ct) * ia), 0.0)
+                Lh = 0.5 * L
+                f = w * jnp.maximum(
+                    jnp.minimum(t + Lh, rf) - jnp.maximum(t - Lh, 0.0),
+                    0.0,
+                )
+                free_acc = f if free_acc is None else free_acc + f
+            else:
+                rm = rmin3_ref[b] - resolution
+                f = (dphi <= half_slot) & (d < rm)
+                free_acc = f if free_acc is None else free_acc | f
+            if occ_exact:
+                er = rays_ref[7, b]
+                ec = rays_ref[8, b]
+                o = ((row == er) & (col == ec)).astype(jnp.float32)
+                occ_acc = o if occ_acc is None else occ_acc + o
+            else:
+                r_b = r_hit_ref[b]
+                o = (dphi <= tol_d) & (jnp.abs(d - r_b) <= occ_tol)
+                occ_acc = o if occ_acc is None else occ_acc | o
+        if free_ray:
+            free = free + free_acc
+        else:
+            free = jnp.maximum(free, free_acc.astype(jnp.float32))
+        if occ_exact:
+            occ = occ + occ_acc
+        else:
+            occ = jnp.maximum(occ, occ_acc.astype(jnp.float32))
         return free, occ
 
     zeros = jnp.zeros((block_rows, block_cols), jnp.float32)
@@ -201,7 +245,7 @@ def _update_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sensor", "interpret", "block_rows"),
+    static_argnames=("cfg", "sensor", "interpret", "block_rows", "variant"),
 )
 def pallas_dense_update(
     logodds,
@@ -213,9 +257,22 @@ def pallas_dense_update(
     origin_xy=None,
     interpret: bool = False,
     block_rows: int = 32,
+    variant: str = "ism",
 ):
     """Drop-in for raycast_update_dense backed by the Pallas kernel.
-    Preserves the map dtype (PF maps may be bf16); accumulates in f32."""
+    Preserves the map dtype (PF maps may be bf16); accumulates in f32.
+
+    variant:
+      "ism"    — dense inverse-sensor-model tests (the round-1 kernel):
+                 wedge free, |d - r| arc occ, boolean marks.
+      "ray"    — SPARSE SAMPLED-RAY semantics in closed form (SURVEY §2
+                 L1 "Pallas DDA raycast"): per-cell free evidence = the
+                 beam's chord length through the cell / max(res, sample
+                 spacing), summed over beams (multi-beam stacking, exactly
+                 what raycast_update's point sampling converges to), and
+                 occupied = l_occ per hitting beam whose ENDPOINT CELL is
+                 this cell (floor-exact, stacking) — no arc spread.
+      "hybrid" — wedge free (cheap) + exact endpoint-cell occ."""
     H, W = logodds.shape
     if H % block_rows:
         # largest 8-multiple divisor of H at most the requested block
@@ -249,12 +306,56 @@ def pallas_dense_update(
     )
     rmin3 = jnp.where(valid & jnp.isfinite(rmin3), rmin3, -1.0)
 
+    free_ray = variant == "ray"
+    occ_exact = variant in ("ray", "hybrid")
+    if free_ray or occ_exact:
+        import numpy as _np
+
+        # the SAME angle table the sparse paths use (f64 host build cast
+        # to f32) — an f32 rebuild differs by 1 ulp, enough to flip a
+        # boundary endpoint into the neighboring cell
+        angles = (
+            jnp.asarray(_np.asarray(sensor.beam_angles()), jnp.float32)
+            + pose[2]
+        )
+        dirx = jnp.cos(angles)
+        diry = jnp.sin(angles)
+        r_free = jnp.maximum(r - cfg.resolution, 0.0) * valid
+        spacing = r_free / max(cfg.ray_samples, 1)
+        w_free = valid / jnp.maximum(spacing, cfg.resolution)
+        adx = jnp.abs(dirx)
+        ady = jnp.abs(diry)
+        amax = jnp.maximum(adx, ady)
+        amin = jnp.minimum(adx, ady)
+        cmax = cfg.resolution / jnp.maximum(amax, 1e-6)
+        half = 0.5 * cfg.resolution * (adx + ady)
+        invab = 1.0 / jnp.maximum(amax * amin, 1e-9)
+        # endpoint cell (floor-exact, same lattice as raycast_update)
+        ecol = jnp.floor(
+            (pose[0] + dirx * r - jnp.asarray(ox, jnp.float32))
+            / cfg.resolution
+        )
+        erow = jnp.floor(
+            (pose[1] + diry * r - jnp.asarray(oy, jnp.float32))
+            / cfg.resolution
+        )
+        ecol = jnp.where(hit, ecol, -1e9)
+        erow = jnp.where(hit, erow, -1e9)
+        rays = jnp.stack(
+            [dirx, diry, w_free, cmax, half, invab, r_free, erow, ecol]
+        )
+    else:
+        rays = jnp.zeros((9, B), jnp.float32)
+
     # pad beam tables to the kernel's unroll factor
     # (-1 encodes "can't fire" for both the free and occ tests)
     if B % _UNROLL:
         pad = _UNROLL - B % _UNROLL
         r_hit = jnp.concatenate([r_hit, jnp.full((pad,), -1.0, jnp.float32)])
         rmin3 = jnp.concatenate([rmin3, jnp.full((pad,), -1.0, jnp.float32)])
+        # pad rays so nothing fires: w=0, r_free=0, endpoint far away
+        rpad = jnp.zeros((9, pad), jnp.float32).at[7:9].set(-1e9)
+        rays = jnp.concatenate([rays, rpad], axis=1)
         B = B + pad
 
     # tightest disk any test can touch (kernel range early-out); the 0.0
@@ -281,9 +382,11 @@ def pallas_dense_update(
         l_free=cfg.l_free,
         l_occ=cfg.l_occ,
         l_clamp=cfg.l_clamp,
+        free_ray=free_ray,
+        occ_exact=occ_exact,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,      # scalars, r_hit, rmin3
+        num_scalar_prefetch=4,      # scalars, r_hit, rmin3, rays
         grid=(H // block_rows, W // block_cols),
         in_specs=[
             pl.BlockSpec(
@@ -303,4 +406,4 @@ def pallas_dense_update(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, W), logodds.dtype),
         interpret=interpret,
-    )(scalars, r_hit, rmin3, logodds)
+    )(scalars, r_hit, rmin3, rays, logodds)

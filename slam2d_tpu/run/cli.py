@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="candidate-scoring kernel (auto: mxu on TPU, "
                         "gather on CPU; PF refinement auto-picks emx)")
     p.add_argument("--update-impl", default="auto",
-                   choices=["auto", "sparse", "sparse_mxu", "dense", "pallas"],
+                   choices=["auto", "sparse", "sparse_mxu", "dense",
+                            "pallas", "pallas_ray", "pallas_hybrid"],
                    help="scan-integration kernel (auto: matmul accumulation "
                         "on TPU, scatter on CPU)")
     # pf
