@@ -129,10 +129,17 @@ def _windowed_update(grid, pose, ranges, cfg: FrontendConfig, enable=1.0):
 
 
 def _resample_copy(stacked, ancestors):
-    """Copy ancestor rows of a [P, ...] tensor as a 0/1 one-hot matmul —
-    XLA lowers a plain axis-0 gather of big rows to a slow general gather
-    on TPU, while the equivalent masked matmul runs on the MXU exactly
-    (the mask is 0/1, f32 accumulate)."""
+    """Copy ancestor rows of a [P, ...] tensor.
+
+    On TPU: a Pallas DMA row gather (ops/pallas_gather.py) — pure HBM
+    traffic, O(P*H*W) bytes. The one-hot-matmul form (kept for CPU and as
+    the historical formulation) is exact but costs P^2*H*W MACs, which at
+    P=1000 is ~0.5 TFLOP per resample event; a plain XLA axis-0 gather of
+    big rows lowers to a slow serialized path on TPU (round-1 finding)."""
+    if jax.default_backend() == "tpu":
+        from slam2d_tpu.ops.pallas_gather import gather_rows_pallas
+
+        return gather_rows_pallas(stacked, ancestors)
     P = stacked.shape[0]
     onehot = (
         ancestors[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
