@@ -172,6 +172,16 @@ class PFConfig:
     # once). The MXU scorer materializes ~13 MB of one-hot operands per
     # particle; at 1000+ particles an unchunked vmap exceeds HBM.
     refine_chunk: int = 0
+    # Map-update batching strategy (mirrors refine_mode). "shared" builds
+    # G scan update images on a global theta grid and applies them per
+    # particle as lattice-anchored shifted adds (pf/shared_update.py) —
+    # the dense kernel runs G times instead of P times (34.5 -> ~2 ms per
+    # update event at P=1000). Marks quantize to the pose's cell center +
+    # theta slot (sub-half-cell; poses/weights stay exact). "auto" picks
+    # shared on TPU at >= update_shared_min_particles per device.
+    update_mode: str = "auto"
+    update_theta_slots: int = 16
+    update_shared_min_particles: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,6 +52,10 @@ def gather_rows_pallas(stacked, ancestors, interpret: bool = False):
             bn = b
     grid = (P, N // bn)
 
+    # [P, 1, N] view: Mosaic requires the last TWO block dims to be
+    # (8, 128)-tiled or equal the array dims — a (1, bn) block over
+    # [P, N] fails the sublane rule, but (1, 1, bn) over [P, 1, N]
+    # satisfies it (dim -2: block 1 == array 1)
     out = pl.pallas_call(
         _copy_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -59,16 +63,16 @@ def gather_rows_pallas(stacked, ancestors, interpret: bool = False):
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, bn), lambda p, j, anc: (anc[p], j),
+                    (1, 1, bn), lambda p, j, anc: (anc[p], 0, j),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, bn), lambda p, j, anc: (p, j),
+                (1, 1, bn), lambda p, j, anc: (p, 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((P, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((P, 1, N), x.dtype),
         interpret=interpret,
-    )(ancestors.astype(jnp.int32), x)
+    )(ancestors.astype(jnp.int32), x.reshape(P, 1, N))
     return out.reshape(shape)

@@ -260,8 +260,22 @@ def _refine_all(state_logodds, ranges, priors, cfg, pf):
 
 def _update_all(logodds, poses, ranges, cfg, pf):
     """The map-update computation shared by fastslam_step and the
-    host-gated heavy step."""
+    host-gated heavy step. PFConfig.update_mode picks the batching:
+    shared-anchor images (TPU, large P) or the vmapped per-particle
+    kernel."""
     P = pf.n_particles
+    mode = pf.update_mode
+    if mode == "auto":
+        mode = (
+            "shared"
+            if jax.default_backend() == "tpu"
+            and P >= pf.update_shared_min_particles
+            else "per_particle"
+        )
+    if mode == "shared":
+        from slam2d_tpu.pf.shared_update import shared_update
+
+        return shared_update(logodds, poses, ranges, cfg, pf)
     batched_upd = jax.vmap(lambda g, p: _windowed_update(g, p, ranges, cfg))
     if pf.refine_chunk and P > pf.refine_chunk:
         nc = P // pf.refine_chunk

@@ -183,11 +183,19 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
 
         since = state.since_update + step_len
         do_update = in_boot | (since >= cfg.map_update_min_motion)
+        # shard-local update batching: _update_all resolves per the LOCAL
+        # particle count (static), so every shard takes the same branch —
+        # SPMD-safe like the shard-local shared refinement above
+        import dataclasses as _dc
+
+        from slam2d_tpu.pf.fastslam import _update_all
+
+        pf_local = _dc.replace(pf, n_particles=Pl)
         logodds = jax.lax.cond(
             do_update,
-            lambda _: jax.vmap(
-                lambda g, p: _windowed_update(g, p, ranges, cfg)
-            )(state.logodds, poses),
+            lambda _: _update_all(
+                state.logodds, poses, ranges, cfg, pf_local
+            ),
             lambda _: state.logodds,
             None,
         )

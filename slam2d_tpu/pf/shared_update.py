@@ -1,0 +1,140 @@
+"""Shared-anchor batched PF map update: G scan images, P shifted adds.
+
+The per-particle update path (vmapped _windowed_update) runs the dense
+update kernel once per particle — at P=1000 that is ~34 ms per update
+event, VPU-compute-bound (the kernel evaluates every (cell, beam) pair
+per particle). But the SCAN is common to all particles, exactly as in
+pf/shared_refine.py: if each particle's update is anchored on the map
+cell lattice (applied at its pose's CELL CENTER) and rotations are
+quantized to a global theta grid, the update IMAGE depends only on
+(scan, theta slot) — shared — so:
+
+  1. build G update images of the scan, each in a window frame whose
+     center cell holds the sensor (G kernel runs on ONE window instead
+     of P),
+  2. per particle: select its slot's image (a [P, G] one-hot matmul —
+     G is small) and ADD it into its map window at its anchor cell
+     (pure HBM bandwidth).
+
+Quantization semantics (intentional, ATE-validated like shared_refine's):
+marks land at the pose's cell-center + slot-heading rather than the exact
+pose — a sub-cell translation error (< res/2 per axis) plus an angular
+error of at most slot_step/2 (endpoint displacement r * slot_step / 2;
+the slot step targets <= half a cell at the scan's max range, widening
+only if the particle heading spread exceeds the grid's coverage). The
+particles' POSES and weights stay exact — only their map marks quantize.
+
+Reference anchor: SURVEY.md §4.3 step 4 (per-particle map update),
+restructured like §4.3 step 2's shared refinement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam2d_tpu.config import FrontendConfig, PFConfig
+from slam2d_tpu.core import se2
+from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
+from slam2d_tpu.grid.window import (
+    extract_window,
+    update_window_cells,
+    write_window,
+)
+
+
+def _circular_mean(theta):
+    return jnp.arctan2(jnp.mean(jnp.sin(theta)), jnp.mean(jnp.cos(theta)))
+
+
+def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
+                  pf: PFConfig):
+    """Update every particle's map with one scan (module docstring).
+
+    logodds: [P, H, W]; poses: [P, 3]. Returns updated [P, H, W]."""
+    import dataclasses
+
+    gcfg = cfg.grid
+    res = gcfg.resolution
+    P = poses.shape[0]
+    win = update_window_cells(gcfg, cfg.sensor)
+    win = min(win, min(gcfg.height, gcfg.width))
+    G = pf.update_theta_slots
+
+    # ---- global theta grid ----------------------------------------------
+    theta = poses[:, 2]
+    mean_t = _circular_mean(theta)
+    dth = se2.wrap_angle(theta - mean_t)
+    # slot step: half-cell endpoint error at max range unless the cloud's
+    # spread needs wider coverage (then error degrades gracefully)
+    qstep = res / max(cfg.sensor.max_range, res)
+    step = jnp.maximum(
+        jnp.float32(qstep),
+        2.0 * jnp.max(jnp.abs(dth)) / jnp.float32(max(G - 1, 1)),
+    )
+    slot = jnp.clip(
+        jnp.round(dth / step).astype(jnp.int32) + G // 2, 0, G - 1
+    )
+    slot_theta = mean_t + (jnp.arange(G, dtype=jnp.float32) - G // 2) * step
+
+    # ---- G update images in a window frame -------------------------------
+    # frame: world (0, 0) at the CENTER of cell (win//2, win//2)
+    img_origin = (
+        jnp.float32(-(win // 2) * res - 0.5 * res),
+        jnp.float32(-(win // 2) * res - 0.5 * res),
+    )
+    # images must be raw increments: clamp can't bind on a zero window
+    # for one scan (|upd| <= a few increments << l_clamp)
+    img_cfg = dataclasses.replace(gcfg, height=win, width=win)
+
+    def one_image(th):
+        pose_g = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), th])
+        return integrate_scan(
+            jnp.zeros((win, win), jnp.float32), pose_g, ranges,
+            img_cfg, cfg.sensor, origin_xy=img_origin, auto_ctx="pf",
+        )
+
+    images = jax.lax.map(one_image, slot_theta)      # [G, win, win]
+
+    # ---- per-particle select + shifted add -------------------------------
+    # slot select as a one-hot matmul (G is tiny; a big-row gather would
+    # serialize on TPU)
+    onehot = (
+        slot[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    imgs_p = jnp.dot(
+        onehot, images.reshape(G, win * win),
+        preferred_element_type=jnp.float32,
+    ).reshape(P, win, win)                            # [P, win, win]
+
+    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
+
+    def apply(g, anchor, img):
+        gw, (r0, c0) = extract_window(g, anchor, win)
+        # at map borders extract_window clamps; roll the IMAGE to the
+        # clamped frame and drop the out-of-map band (mode="drop")
+        dr = (anchor[0] - win // 2) - r0
+        dc = (anchor[1] - win // 2) - c0
+        img2 = jnp.roll(img, (dr, dc), axis=(0, 1))
+        i = jnp.arange(win, dtype=jnp.int32)
+        rmask = (i - dr >= 0) & (i - dr < win)
+        cmask = (i - dc >= 0) & (i - dc < win)
+        img2 = img2 * (rmask[:, None] & cmask[None, :]).astype(img2.dtype)
+        gw2 = jnp.clip(
+            gw.astype(jnp.float32) + img2, -gcfg.l_clamp, gcfg.l_clamp
+        ).astype(g.dtype)
+        return write_window(g, gw2, (r0, c0))
+
+    if pf.refine_chunk and P > pf.refine_chunk:
+        nc = P // pf.refine_chunk
+        Hg, Wg = logodds.shape[-2:]
+        out = jax.lax.map(
+            lambda args: jax.vmap(apply)(args[0], args[1], args[2]),
+            (
+                logodds.reshape(nc, pf.refine_chunk, Hg, Wg),
+                anchors.reshape(nc, pf.refine_chunk, 2),
+                imgs_p.reshape(nc, pf.refine_chunk, win, win),
+            ),
+        )
+        return out.reshape(P, Hg, Wg)
+    return jax.vmap(apply)(logodds, anchors, imgs_p)

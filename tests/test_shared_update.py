@@ -1,0 +1,128 @@
+"""Shared-anchor PF map update (pf/shared_update.py) vs the per-particle
+path."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slam2d_tpu.config import (
+    FrontendConfig, GridConfig, MatcherConfig, PFConfig, SensorConfig,
+)
+from slam2d_tpu.data.synth import SynthWorld, simulate_log
+from slam2d_tpu.metrics import ate_rmse
+from slam2d_tpu.pf.fastslam import _update_all
+from slam2d_tpu.pf.shared_update import shared_update
+
+CFG = FrontendConfig(
+    sensor=SensorConfig(n_beams=60, max_range=8.0),
+    grid=GridConfig(height=224, width=224, resolution=0.1,
+                    ray_samples=96, center_x=8.0, center_y=8.0),
+    matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=7),
+    chunk=8,
+)
+
+
+def _ranges(seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0.5, 7.5, CFG.sensor.n_beams).astype(np.float32)
+    return jnp.asarray(r)
+
+
+def test_shared_matches_per_particle_on_lattice():
+    """Poses placed exactly at cell centers with slot-aligned headings:
+    the shared path's quantization is a no-op, so its marks must match
+    the per-particle integrate (up to rare 1-ulp endpoint cell flips
+    from the shifted coordinate frame)."""
+    pf = PFConfig(n_particles=8, update_theta_slots=16)
+    res = CFG.grid.resolution
+    rng = np.random.default_rng(1)
+    # cell-center positions, identical heading (= the center slot exactly)
+    cells = rng.integers(60, 160, (8, 2))
+    xy = np.stack([
+        CFG.grid.origin_x + (cells[:, 1] + 0.5) * res,
+        CFG.grid.origin_y + (cells[:, 0] + 0.5) * res,
+    ], axis=1)
+    poses = jnp.asarray(
+        np.concatenate([xy, np.full((8, 1), 0.37)], axis=1), jnp.float32
+    )
+    maps = jnp.zeros((8, 224, 224), jnp.float32)
+    ranges = _ranges()
+
+    shared = np.asarray(shared_update(maps, poses, ranges, CFG, pf))
+    per = np.asarray(
+        _update_all(
+            maps, poses, ranges, CFG,
+            dataclasses.replace(pf, update_mode="per_particle"),
+        )
+    )
+    diff = np.abs(shared - per)
+    # almost everywhere identical; allow a handful of boundary-cell flips
+    frac_mismatch = (diff > 1e-4).mean()
+    assert frac_mismatch < 2e-3, frac_mismatch
+    # total evidence mass matches closely
+    assert abs(shared.sum() - per.sum()) < 0.02 * abs(per.sum())
+
+
+def test_shared_quantization_error_bounded():
+    """Arbitrary (off-lattice) poses: shared marks displace by at most
+    ~1 cell from the per-particle marks — wall cells stay adjacent."""
+    pf = PFConfig(n_particles=6, update_theta_slots=16)
+    rng = np.random.default_rng(2)
+    poses = jnp.asarray(np.stack([
+        rng.uniform(7.0, 9.0, 6), rng.uniform(7.0, 9.0, 6),
+        rng.uniform(-0.1, 0.1, 6),
+    ], axis=1), jnp.float32)
+    maps = jnp.zeros((6, 224, 224), jnp.float32)
+    ranges = _ranges(3)
+
+    shared = np.asarray(shared_update(maps, poses, ranges, CFG, pf))
+    per = np.asarray(
+        _update_all(
+            maps, poses, ranges, CFG,
+            dataclasses.replace(pf, update_mode="per_particle"),
+        )
+    )
+
+    for p in range(6):
+        occ_s = shared[p] > 0.4
+        occ_p = per[p] > 0.4
+        # every shared occ cell within 2 cells of a per-particle occ cell
+        grown = occ_p.copy()
+        for _ in range(2):
+            g2 = grown.copy()
+            g2[1:] |= grown[:-1]
+            g2[:-1] |= grown[1:]
+            g2[:, 1:] |= grown[:, :-1]
+            g2[:, :-1] |= grown[:, 1:]
+            grown = g2
+        stray = occ_s & ~grown
+        assert stray.sum() <= max(2, 0.02 * occ_s.sum()), stray.sum()
+
+
+def test_fastslam_ate_with_shared_update():
+    """End-to-end PF with the shared update forced on: tracking quality
+    holds vs the per-particle path on the same log."""
+    from slam2d_tpu.run.fastslam_run import run_fastslam
+
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    cfg = dataclasses.replace(
+        CFG,
+        grid=GridConfig(height=160, width=160, resolution=0.1,
+                        ray_samples=96, center_x=6.0, center_y=6.0),
+    )
+    log = simulate_log(world, wp, cfg.sensor, step=0.2,
+                       odom_noise_xy=0.02, odom_noise_theta=0.008, seed=4)
+    gt = log["gt_poses"]
+    pf_pp = PFConfig(n_particles=8, update_mode="per_particle",
+                     noise_xy=0.02, noise_theta=0.008)
+    pf_sh = dataclasses.replace(pf_pp, update_mode="shared")
+    _, tr_pp, _, _ = run_fastslam(log, cfg, pf_pp, seed=1)
+    _, tr_sh, _, _ = run_fastslam(log, cfg, pf_sh, seed=1)
+    a_pp = ate_rmse(tr_pp, gt, align=False)
+    a_sh = ate_rmse(tr_sh, gt, align=False)
+    a_od = ate_rmse(log["odom"], gt, align=False)
+    assert a_sh < max(1.5 * a_pp, 0.8 * a_od), (a_sh, a_pp, a_od)
