@@ -79,6 +79,16 @@ def main():
             ),
             grid, pose, ranges,
         )
+    for variant in ("ray", "hybrid"):
+        timeit(
+            f"frontend pallas-{variant} 520^2",
+            jax.jit(
+                lambda g, p, r, v=variant: pallas_dense_update(
+                    g, p, r, cfg, SENSOR, variant=v
+                )
+            ),
+            grid, pose, ranges,
+        )
     # ---- PF shape: vmap over 100 particles, 256^2 windows ---------------
     cfg, grids, poses, ranges = make_inputs(256, P=100)
     timeit(
