@@ -65,6 +65,7 @@ def main():
     T = (len(odom) // cfg.chunk) * cfg.chunk
     n_chunks = T // cfg.chunk
 
+    extra = {}
     if args.ungated:
         state = fastslam_init(
             cfg, pf, jax.random.PRNGKey(0), start_pose=odom[0]
@@ -94,9 +95,21 @@ def main():
 
         run_fastslam(log, cfg, pf, seed=0)
         t0 = time.perf_counter()
-        run_fastslam(log, cfg, pf, seed=0)
+        _, best_traj, _, _ = run_fastslam(log, cfg, pf, seed=0)
         dt = time.perf_counter() - t0
         rate = len(log["odom"]) / dt
+        from slam2d_tpu.metrics import ate_rmse
+
+        extra = {
+            "ate_m": round(
+                float(ate_rmse(best_traj, log["gt_poses"], align=False)), 3
+            ),
+            "ate_odom_m": round(
+                float(
+                    ate_rmse(log["odom"], log["gt_poses"], align=False)
+                ), 3
+            ),
+        }
     print(
         json.dumps(
             {
@@ -104,6 +117,7 @@ def main():
                 "value": round(rate, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(rate / REFERENCE_SCANS_PER_SEC, 2),
+                **extra,
             }
         )
     )

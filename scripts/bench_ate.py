@@ -28,6 +28,7 @@ from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
@@ -44,7 +45,7 @@ def main():
         [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
          [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 4.0]]
     )
-    log = simulate_log(world, wp, cfg.sensor, step=0.05, seed=0)
+    log = simulate_log(world, wp, cfg.sensor, step=0.05, seed=seed)
     odom = jnp.asarray(log["odom"])
     ranges = jnp.asarray(log["ranges"])
     T = (len(odom) // cfg.chunk) * cfg.chunk
@@ -74,7 +75,7 @@ def main():
     print(
         json.dumps(
             {
-                "impl": impl,
+                "impl": impl, "seed": seed,
                 "backend": jax.default_backend(),
                 "scans_per_sec": round(done / dt, 1),
                 "ate_slam_m": round(float(ate_rmse(traj, gt, align=False)), 4),

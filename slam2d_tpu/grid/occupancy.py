@@ -308,7 +308,9 @@ def integrate_scan(
         else:
             impl = "sparse_mxu"
 
-    if origin_rc is not None and impl in ("pallas", "dense"):
+    if origin_rc is not None and impl in (
+        "pallas", "pallas_ray", "pallas_hybrid", "dense"
+    ):
         origin_xy = (
             cfg.origin_x
             + origin_rc[1].astype(jnp.float32) * cfg.resolution,

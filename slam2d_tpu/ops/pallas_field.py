@@ -60,27 +60,44 @@ def _field_kernel(
     out_dtype,
 ):
     p = pl.program_id(0)
+    nP = pl.num_programs(0)
     Rd = win + 2 * pad          # DMA rows (sublane-aligned origin slack)
     # DMA cols: origin slack + rounded up so the lane dim is a 128-multiple
     # (Mosaic's dynamic_rotate rejects unaligned lane widths)
     Cd = ((win + 128 + 127) // 128) * 128
+
+    def dma(i, slot):
+        # aligned DMA origin: covers [max(a,0), min(a+win, Hm)) because
+        # a8 >= a-7 (or 0) and a8+Rd >= a+win+1 (or Hm); Hm%8==0 and
+        # Wm%128==0 are gated by the caller so the clips keep alignment.
+        a8 = jnp.clip((a_ref[i] // 8) * 8, 0, Hm - Rd)
+        b8 = jnp.clip((b_ref[i] // 128) * 128, 0, Wm - Cd)
+        a8 = pl.multiple_of(a8, 8)
+        b8 = pl.multiple_of(b8, 128)
+        return pltpu.make_async_copy(
+            grids_ref.at[i, pl.ds(a8, Rd), pl.ds(b8, Cd)],
+            load_ref.at[slot],
+            sem.at[slot],
+        )
+
+    # double buffering across grid programs (scratch persists): program p
+    # kicks off p+1's window copy before computing on p's, so the HBM
+    # read rides under the field math instead of serializing with it
+    @pl.when(p == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(p + 1 < nP)
+    def _():
+        dma(p + 1, (p + 1) % 2).start()
+
+    dma(p, p % 2).wait()
     a = a_ref[p]                # true (unclamped) window row origin
     b = b_ref[p]
-
-    # aligned DMA origin: covers [max(a,0), min(a+win, Hm)) because
-    # a8 >= a-7 (or 0) and a8+Rd >= a+win+1 (or Hm); Hm%8==0 and Wm%128==0
-    # are gated by the caller so the clip bounds preserve alignment.
     a8 = jnp.clip((a // 8) * 8, 0, Hm - Rd)
     b8 = jnp.clip((b // 128) * 128, 0, Wm - Cd)
-    a8 = pl.multiple_of(a8, 8)
-    b8 = pl.multiple_of(b8, 128)
-    cp = pltpu.make_async_copy(
-        grids_ref.at[p, pl.ds(a8, Rd), pl.ds(b8, Cd)], load_ref, sem
-    )
-    cp.start()
-    cp.wait()
 
-    x = load_ref[:, :].astype(jnp.float32)            # [Rd, Cd]
+    x = load_ref[p % 2].astype(jnp.float32)           # [Rd, Cd]
     # bring load origin (a - a8, b - b8) to frame position (pad, pad) —
     # both dynamic rotates run on the lane-aligned [Rd, Cd] buffer — then
     # crop the slack; rolled-in wrap junk (incl. uninitialized DMA slack)
@@ -191,8 +208,8 @@ def fused_window_field(
             (1, win, win), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((Rd, Cd), grids.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, Rd, Cd), grids.dtype),   # double-buffered window
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
