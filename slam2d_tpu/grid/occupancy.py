@@ -272,21 +272,24 @@ def integrate_scan(
     enable=1.0, origin_xy=None, origin_rc=None, auto_ctx: str = "frontend",
 ):
     """Scan integration dispatcher: GridConfig.update_impl picks the kernel
-    ("sparse" | "sparse_mxu" | "auto" | "dense" | "pallas"). "auto" =
-    sampled rays with scatter-add accumulation on CPU and one-hot-matmul
-    accumulation on TPU (where XLA's scatter serializes).
+    ("sparse" | "sparse_mxu" | "auto" | "dense" | "pallas" | "pallas_ray"
+    | "pallas_hybrid"). "auto" = sampled rays with scatter-add
+    accumulation on CPU; on TPU a Pallas kernel variant per call site.
 
     auto_ctx disambiguates "auto" per call site (mirrors the scorer's
-    "auto"/"auto_refine" split): the Pallas dense inverse-sensor-model
-    kernel is FASTER in isolation (scripts/bench_update.py: 1.09 vs
-    1.35 ms at the frontend's 520^2 window, 4.97 vs 5.60 ms at the PF's
-    vmapped 100x256^2), but for the FRONTEND its differently-shaped
-    free/occ marks feed back into absolute match quality — measured
-    end-to-end (scripts/bench_ate.py) ATE degrades 0.177 -> 0.247 m —
-    so auto_ctx="frontend" keeps the sampled-ray sparse semantics. PF
-    weighting only compares particles' scores against each other, and
-    measured FastSLAM-100 ATE is unchanged (0.215 vs 0.219) at +4%
-    throughput, so auto_ctx="pf" resolves to the Pallas kernel on TPU.
+    "auto"/"auto_refine" split):
+    - "pf" -> the pure inverse-sensor-model Pallas kernel ("pallas"):
+      PF weighting only compares particles' scores against each other,
+      and measured FastSLAM-100 ATE is unchanged (0.215 vs 0.219) at
+      +4% throughput over the sparse matmul path.
+    - "frontend" -> the HYBRID Pallas kernel ("pallas_hybrid": wedge
+      free marks + EXACT endpoint-cell occ): absolute match quality
+      feeds back into the frontend's tracking, and the pure-ISM marks
+      degraded ATE 0.177 -> 0.247 m on chip, while hybrid measures
+      <= the sparse path on 3 seeds (0.159/0.727/0.375 vs
+      0.177/0.728/0.413, scripts/bench_ate.py) at slightly higher
+      end-to-end throughput (the sparse path pays an extra XLA
+      beam-table build per scan that the kernel subsumes).
 
     origin_rc: integer window offset on the config grid's lattice (see
     raycast_update) — the sparse paths use it for bit-exact windowed
@@ -300,13 +303,21 @@ def integrate_scan(
     if impl == "auto":
         if _jax.default_backend() != "tpu":
             impl = "sparse"
-        elif auto_ctx == "pf" and sensor.fov_rad <= _math.pi + 1e-6:
-            # the Pallas kernel compares an UNWRAPPED |phi - ab|, so beam
+        elif sensor.fov_rad > _math.pi + 1e-6:
+            # the Pallas kernels compare an UNWRAPPED |phi - ab|, so beam
             # angles past pi (fov > 180 deg) would never fire — wide-FOV
             # sensors keep the per-beam-trig sparse path
+            impl = "sparse_mxu"
+        elif auto_ctx == "pf":
             impl = "pallas"
         else:
-            impl = "sparse_mxu"
+            # frontend: the hybrid kernel (wedge free + EXACT endpoint-cell
+            # occ) keeps the sparse path's absolute match quality — on-chip
+            # ATE <= sparse on 3 seeds (0.159/0.727/0.375 vs
+            # 0.177/0.728/0.413, scripts/bench_ate.py) at slightly higher
+            # end-to-end throughput; the pure-ISM "pallas" variant's
+            # different marks degraded ATE 0.177 -> 0.247 and stays opt-in
+            impl = "pallas_hybrid"
 
     if origin_rc is not None and impl in (
         "pallas", "pallas_ray", "pallas_hybrid", "dense"

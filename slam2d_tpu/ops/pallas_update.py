@@ -283,8 +283,18 @@ def pallas_dense_update(
     assert H % block_rows == 0, (H, block_rows)
     # column tiling narrows each tile's bearing interval so the angular
     # chunk skip bites; Mosaic needs the lane dim to be a multiple of 128
-    # (or the full array width)
-    block_cols = 128 if W % 128 == 0 and W > 128 else W
+    # (or the full array width). A non-multiple width (the frontend's 520
+    # window) would otherwise run ONE full-width tile whose bearing
+    # interval spans the whole window, defeating the clip — pad columns
+    # to the next 128 multiple instead (one pad+crop copy, ~µs; padded
+    # cells lie beyond every beam's range and die in the early-outs;
+    # measured at the 520² frontend window: hybrid 1.43 -> see
+    # scripts/bench_update.py).
+    pad_c = (-W) % 128 if W > 128 else 0
+    if pad_c:
+        logodds = jnp.pad(logodds, ((0, 0), (0, pad_c)))
+    Wk = W + pad_c
+    block_cols = 128 if Wk % 128 == 0 and Wk > 128 else Wk
     if origin_xy is None:
         ox, oy = cfg.origin_x, cfg.origin_y
     else:
@@ -387,7 +397,7 @@ def pallas_dense_update(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,      # scalars, r_hit, rmin3, rays
-        grid=(H // block_rows, W // block_cols),
+        grid=(H // block_rows, Wk // block_cols),
         in_specs=[
             pl.BlockSpec(
                 (block_rows, block_cols),
@@ -401,9 +411,10 @@ def pallas_dense_update(
             memory_space=pltpu.VMEM,
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, W), logodds.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, Wk), logodds.dtype),
         interpret=interpret,
     )(scalars, r_hit, rmin3, rays, logodds)
+    return out[:, :W] if pad_c else out
