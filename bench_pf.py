@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--map-dtype", default="bfloat16")
     ap.add_argument("--refine-chunk", type=int, default=0)
     ap.add_argument("--update-impl", default="auto")
+    ap.add_argument("--update-mode", default="auto",
+                    help="PFConfig.update_mode (auto|shared|per_particle)")
     # proposal noise ~2.5x the bench log's odometry noise (0.004/0.002
     # per step): the filter's motion model matched to the robot's spec.
     # The library defaults (0.04/0.02) target 10x noisier logs and make
@@ -64,7 +66,8 @@ def main():
         noise["noise_theta"] = args.noise_theta
     pf = PFConfig(
         n_particles=args.particles, map_dtype=args.map_dtype,
-        refine_chunk=args.refine_chunk, **noise,
+        refine_chunk=args.refine_chunk, update_mode=args.update_mode,
+        **noise,
     )
 
     world = SynthWorld.box_rooms(20.0)

@@ -1,0 +1,202 @@
+"""Shared-anchor PF map-update APPLY as one Pallas kernel.
+
+pf/shared_update.py builds G scan update images (cheap, shared across
+particles) and then adds each particle's slot image into its map window
+at its anchor cell. The XLA form of that apply materializes a per-
+particle [P, win, win] f32 image selection (one-hot matmul), rolls it,
+masks it, and window-writes the maps — ~790 MB of HBM traffic per update
+event at P=1000 x 256² windows. But the apply is really
+
+    window(maps[p]) += roll(images[slot[p]], anchor offset), clipped
+
+— one read + one write of each particle's window plus ONE VMEM-resident
+copy of the G images. This kernel does exactly that, per grid program
+(= one particle):
+
+  1. DMA an 8/128-aligned superset of the particle's window from its
+     HBM-resident map into VMEM (double-buffered across programs: p
+     kicks off p+1's load first, like ops/pallas_field.py).
+  2. Select the particle's slot image (scalar-prefetched slot index into
+     the VMEM-resident [G, win, win] image stack), roll it to the
+     window's frame offset, and mask the true (unclamped) image extent —
+     image cells falling outside the map are DROPPED, matching
+     shared_update's XLA border semantics.
+  3. Add, clip to ±l_clamp, write the superset back to the SAME buffer
+     (the maps operand is input/output-aliased — in-place in HBM), with
+     the store DMA pipelined two programs deep.
+
+Reference anchor: SURVEY.md §4.3 step 4 (per-particle map update),
+apply stage of the shared-anchor restructuring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_kernel(
+    ar_ref, ac_ref, slot_ref,           # scalar prefetch [P]
+    images_ref,                          # [G, win, win] VMEM
+    maps_ref,                            # [P, Hm, Wm] ANY (aliased to out)
+    out_ref,                             # [P, Hm, Wm] ANY
+    load_ref, res_ref, lsem, ssem,       # scratch
+    *,
+    win, pad, Hm, Wm, l_clamp, out_dtype,
+):
+    p = pl.program_id(0)
+    nP = pl.num_programs(0)
+    Rd = win + 2 * pad
+    Cd = ((win + 128 + 127) // 128) * 128
+
+    def origin(i):
+        # aligned superset origin; covering argument as in pallas_field
+        a8 = jnp.clip((ar_ref[i] // 8) * 8, 0, Hm - Rd)
+        b8 = jnp.clip((ac_ref[i] // 128) * 128, 0, Wm - Cd)
+        return pl.multiple_of(a8, 8), pl.multiple_of(b8, 128)
+
+    def load(i, s):
+        a8, b8 = origin(i)
+        return pltpu.make_async_copy(
+            out_ref.at[i, pl.ds(a8, Rd), pl.ds(b8, Cd)],
+            load_ref.at[s], lsem.at[s],
+        )
+
+    def store(i, s):
+        a8, b8 = origin(i)
+        return pltpu.make_async_copy(
+            res_ref.at[s],
+            out_ref.at[i, pl.ds(a8, Rd), pl.ds(b8, Cd)],
+            ssem.at[s],
+        )
+
+    # double-buffered loads: program p starts p+1's window DMA up front
+    @pl.when(p == 0)
+    def _():
+        load(0, 0).start()
+
+    @pl.when(p + 1 < nP)
+    def _():
+        load(p + 1, (p + 1) % 2).start()
+
+    load(p, p % 2).wait()
+    s = p % 2
+
+    # the store issued two programs ago reused this result slot
+    @pl.when(p >= 2)
+    def _():
+        store(p - 2, s).wait()
+
+    x = load_ref[s].astype(jnp.float32)                       # [Rd, Cd]
+    ar = ar_ref[p]
+    ac = ac_ref[p]
+    a8 = jnp.clip((ar // 8) * 8, 0, Hm - Rd)
+    b8 = jnp.clip((ac // 128) * 128, 0, Wm - Cd)
+    offr = ar - a8     # image row 0 sits at frame row offr (may be < 0
+    offc = ac - b8     # or > Rd - win at map borders -> cells drop)
+
+    img = images_ref[slot_ref[p]].astype(jnp.float32)         # [win, win]
+    frame = jnp.pad(img, ((0, Rd - win), (0, Cd - win)))
+    frame = pltpu.roll(frame, offr % Rd, axis=0)
+    frame = pltpu.roll(frame, offc % Cd, axis=1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Rd, Cd), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (Rd, Cd), 1)
+    # true (unwrapped) image extent; wrapped-in junk and out-of-map image
+    # cells die here
+    ok = (ri >= offr) & (ri < offr + win) & (ci >= offc) & (ci < offc + win)
+
+    y = jnp.clip(x + jnp.where(ok, frame, 0.0), -l_clamp, l_clamp)
+    res_ref[pl.ds(s, 1), :, :] = y.astype(out_dtype)[None]
+    store(p, s).start()
+
+    # drain the last two stores before the kernel retires
+    @pl.when(p == nP - 1)
+    def _():
+        store(p, s).wait()
+
+    @pl.when((p == nP - 1) & (p >= 1))
+    def _():
+        store(p - 1, 1 - s).wait()
+
+
+def shared_apply_supported(Hm: int, Wm: int, win: int) -> bool:
+    """Aligned-DMA covering argument + VMEM budget (images + frames at
+    win=384 measure ~11 MB of scoped VMEM; 448 is the blur kernel's
+    measured OOM point, stay below it)."""
+    pad = 8
+    Rd = win + 2 * pad
+    Cd = ((win + 128 + 127) // 128) * 128
+    return (
+        Hm % 8 == 0 and Wm % 128 == 0 and Hm >= Rd and Wm >= Cd
+        and win <= 384
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "l_clamp", "interpret"),
+    donate_argnums=(0,),
+)
+def shared_apply_update(
+    maps,
+    anchors_rc,
+    slots,
+    images,
+    win: int,
+    l_clamp: float,
+    interpret: bool = False,
+):
+    """In-place windowed add of per-slot update images into particle maps.
+
+    Args:
+      maps: [P, Hm, Wm] per-particle log-odds (donated; updated in place).
+      anchors_rc: [P, 2] int32 anchor CELLS (window center = anchor).
+      slots: [P] int32 theta-slot index per particle.
+      images: [G, win, win] f32 update images (window frame, anchor at
+        the center cell win//2).
+      win: window size.
+      l_clamp: log-odds clamp.
+    Returns:
+      [P, Hm, Wm] updated maps (same buffer).
+    """
+    P, Hm, Wm = maps.shape
+    G = images.shape[0]
+    pad = 8
+    if not shared_apply_supported(Hm, Wm, win):
+        raise ValueError(f"shared apply unsupported: {Hm}x{Wm}, win {win}")
+    Rd = win + 2 * pad
+    Cd = ((win + 128 + 127) // 128) * 128
+    kernel = functools.partial(
+        _apply_kernel,
+        win=win, pad=pad, Hm=Hm, Wm=Wm,
+        l_clamp=float(l_clamp), out_dtype=maps.dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,                  # row, col, slot
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # images, resident
+            pl.BlockSpec(memory_space=pl.ANY),        # maps stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rd, Cd), maps.dtype),      # load slots
+            pltpu.VMEM((2, Rd, Cd), maps.dtype),      # result slots
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    ar = anchors_rc[:, 0].astype(jnp.int32) - win // 2
+    ac = anchors_rc[:, 1].astype(jnp.int32) - win // 2
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, Hm, Wm), maps.dtype),
+        input_output_aliases={4: 0},   # maps operand (after 3 scalars
+                                       # + images) aliases the output
+        interpret=interpret,
+    )(ar, ac, slots.astype(jnp.int32), images, maps)

@@ -94,11 +94,29 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
             img_cfg, cfg.sensor, origin_xy=img_origin, auto_ctx="pf",
         )
 
-    images = jax.lax.map(one_image, slot_theta)      # [G, win, win]
+    # vmap (one leading pallas grid dim) schedules the G kernel runs
+    # better than lax.map's sequential loop
+    images = jax.vmap(one_image)(slot_theta)         # [G, win, win]
 
     # ---- per-particle select + shifted add -------------------------------
-    # slot select as a one-hot matmul (G is tiny; a big-row gather would
-    # serialize on TPU)
+    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
+
+    from slam2d_tpu.ops.pallas_apply import (
+        shared_apply_supported,
+        shared_apply_update,
+    )
+
+    Hg, Wg = logodds.shape[-2:]
+    if shared_apply_supported(Hg, Wg, win):
+        # one read + one write of each particle's window, images VMEM-
+        # resident, in-place on the donated map stack (module docstring)
+        return shared_apply_update(
+            logodds, anchors, slot, images, win, float(gcfg.l_clamp),
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    # XLA fallback (small/odd map shapes): slot select as a one-hot
+    # matmul (G is tiny; a big-row gather would serialize on TPU)
     onehot = (
         slot[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)
@@ -106,8 +124,6 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         onehot, images.reshape(G, win * win),
         preferred_element_type=jnp.float32,
     ).reshape(P, win, win)                            # [P, win, win]
-
-    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
 
     def apply(g, anchor, img):
         gw, (r0, c0) = extract_window(g, anchor, win)
