@@ -1,13 +1,17 @@
-"""Stage timing of the shared-anchor PF refinement at bench_pf shapes
-(P=100, 288^2 windows): window extract+roll, blur, stack build, the big
-matmul, and the whole shared_refine call.
+"""Stage timing of the shared-anchor PF refinement at bench_pf shapes:
+the production fused field kernel, the shared endpoint-splat shift
+stack, the big scoring matmul, a CONV reformulation of stack+matmul
+(XLA takes the R*C lag shifts implicitly — no materialized stack), and
+the whole shared_refine call.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_shared_refine.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_shared_refine.py [--particles N]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import math
 import time
 
 import numpy as np
@@ -18,16 +22,15 @@ import jax.numpy as jnp
 from slam2d_tpu.config import (
     FrontendConfig, GridConfig, MatcherConfig, PFConfig, SensorConfig,
 )
-from slam2d_tpu.grid.window import scan_window_cells
-from slam2d_tpu.match.correlative import build_search_space
+from slam2d_tpu.grid.occupancy import world_to_cell
+from slam2d_tpu.grid.window import blur_halo_cells, scan_window_cells
+from slam2d_tpu.match.correlative import _gaussian_kernel_1d
+from slam2d_tpu.ops.pallas_field import fused_window_field
 from slam2d_tpu.pf.shared_refine import (
     _global_theta_grid,
-    aligned_window,
     endpoint_shift_stack,
     shared_refine,
 )
-
-P = 100
 
 
 def timeit(name, fn, *args, iters=20):
@@ -46,6 +49,11 @@ def timeit(name, fn, *args, iters=20):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100)
+    args = ap.parse_args()
+    P = args.particles
+
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(height=512, width=512, resolution=0.1,
@@ -64,25 +72,28 @@ def main():
     print(f"backend={jax.default_backend()} win={win} R={R} G={G}", flush=True)
 
     rng = np.random.default_rng(0)
-    grids = jnp.asarray(rng.normal(0, 1.5, (P, 512, 512)).astype(np.float32))
+    grids = jnp.asarray(
+        rng.normal(0, 1.5, (P, 512, 512)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     priors = jnp.asarray(
         np.concatenate([rng.normal(10, 2, (P, 2)), rng.normal(0, 0.05, (P, 1))],
                        axis=1).astype(np.float32))
     ranges = jnp.asarray(rng.uniform(1.0, 11.0, 180).astype(np.float32))
 
-    def extract_roll(grids, priors):
-        return jax.vmap(
-            lambda g, p: aligned_window(g, p, gcfg, win)[0]
-        )(grids, priors)
+    hw = blur_halo_cells(mcfg, res)
+    taps = tuple(float(v) for v in _gaussian_kernel_1d(mcfg.sigma_m / res, hw))
 
-    gw = timeit("extract+roll x100", jax.jit(extract_roll), grids, priors)
-    S = timeit("blur x100",
-               jax.jit(lambda g: jax.vmap(
-                   lambda x: build_search_space(x, mcfg, res))(g)), gw)
-    Sp = timeit("pad+flatten+cast x100",
-                jax.jit(lambda s: jnp.pad(
-                    s, ((0, 0), (0, R), (0, C))).astype(jnp.bfloat16)
-                    .reshape(P, -1)), S)
+    def field(grids, priors):
+        centers = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(priors)
+        return fused_window_field(
+            grids, centers - win // 2, win, taps,
+            1.0 / mcfg.occ_evidence_sat,
+            math.log(mcfg.free_threshold / (1.0 - mcfg.free_threshold)),
+            mcfg.free_penalty, out_dtype=jnp.bfloat16,
+        )
+
+    Sp = timeit(f"fused field x{P}", jax.jit(field), grids, priors)
+    Sp_flat = Sp.reshape(P, win * win)
 
     def build_stack(ranges, priors):
         theta_ref = jnp.arctan2(jnp.mean(jnp.sin(priors[:, 2])),
@@ -93,10 +104,62 @@ def main():
         )
 
     stack = timeit("splat+stack (shared)", jax.jit(build_stack), ranges, priors)
-    timeit("big matmul [100xK]@[KxGRC]",
+    timeit(f"big matmul [{P}xK]@[Kx{G*R*C}]",
            jax.jit(lambda a, b: jax.lax.dot_general(
                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-               preferred_element_type=jnp.float32)), Sp, stack)
+               preferred_element_type=jnp.float32)), Sp_flat, stack)
+
+    # CONV reformulation: scores[p, g, dr, dc] = <S_p, shift_{dr,dc}(E_g)>
+    # == correlation of S (padded by R-1/C-1 at the high edge... the stack
+    # form shifts E DOWN/RIGHT, i.e. E[i-dr, j-dc], so the lag origin is
+    # at pad (R-1, C-1) reversed): conv with E as filters, VALID padding
+    # over an S padded LOW by (R-1, C-1)? Verify equivalence numerically
+    # first, then time.
+    from slam2d_tpu.ops.mxu_score import _endpoint_splat, _splat_inputs
+    from slam2d_tpu.grid.occupancy import scan_endpoints_local
+    from slam2d_tpu.core import se2
+
+    def build_E(ranges, priors):
+        theta_ref = jnp.arctan2(jnp.mean(jnp.sin(priors[:, 2])),
+                                jnp.mean(jnp.cos(priors[:, 2])))
+        dthg = (jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0) * jnp.float32(dth_step)
+        thetas = theta_ref + dthg
+        pts_local, valid = scan_endpoints_local(ranges, cfg.sensor)
+        pts = se2.rotate_points(thetas, pts_local[None, :, :])
+        pos_col = jnp.where(valid[None, :], pts[..., 0] / res + win // 2, 0.0)
+        pos_row = jnp.where(valid[None, :], pts[..., 1] / res + win // 2, 0.0)
+        r0, c0, fr, fc, okm = _splat_inputs(
+            (win, win), pos_row, pos_col, valid, R, C, bilinear=True
+        )
+        return _endpoint_splat(win, win, r0, c0, fr, fc, okm, jnp.bfloat16)
+
+    E = jax.jit(build_E)(ranges, priors)          # [G, win, win]
+
+    def conv_scores(Sp, E):
+        # stack[g, dr*C+dc] = E_g shifted down/right by (dr, dc):
+        # <S, stack[g,l]> = sum_{ij} S[i, j] E[i-dr, j-dc]
+        #                 = sum_{uv} S[u+dr, v+dc] E[u, v]
+        # = VALID cross-correlation of pad_high(S, (R-1, C-1)) with E.
+        lhs = jnp.pad(Sp, ((0, 0), (0, R - 1), (0, C - 1)))[:, None]
+        rhs = E[:, None]                          # [G, 1, win, win]
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )                                         # [P, G, R, C]
+
+    got = jax.jit(conv_scores)(Sp, E)
+    want = jax.lax.dot_general(
+        Sp_flat, stack, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(P, G, R, C)
+    err = float(jnp.max(jnp.abs(got - want)))
+    rel = err / max(float(jnp.max(jnp.abs(want))), 1e-9)
+    print(json.dumps({"stage": "conv == stack+matmul", "max_rel": rel}),
+          flush=True)
+    timeit(f"conv form [{P}] (no stack build)", jax.jit(conv_scores), Sp, E)
+    timeit("build E only", jax.jit(build_E), ranges, priors)
+
     timeit("shared_refine total",
            jax.jit(lambda g, r, p: shared_refine(g, r, p, cfg, mcfg, pf)),
            grids, ranges, priors)

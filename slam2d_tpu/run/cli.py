@@ -91,6 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refine-chunk", type=int, default=0,
                    help="process per-particle refinement/update in chunks "
                         "of this size (bounds HBM at 1000+ particles)")
+    p.add_argument("--update-mode", default="auto",
+                   choices=["auto", "shared", "per_particle"],
+                   help="PF map-update batching: G shared theta-slot "
+                        "images applied per particle by the Pallas apply "
+                        "kernel (lattice-quantized marks, ~3x at P=1000), "
+                        "or exact per-particle kernels (auto: shared at "
+                        ">= 256 particles/device)")
+    p.add_argument("--pf-noise-xy", type=float, default=None,
+                   help="PF proposal noise sigma, m/step (default: "
+                        "PFConfig's; match to the log's odometry spec)")
+    p.add_argument("--pf-noise-theta", type=float, default=None,
+                   help="PF proposal heading noise sigma, rad/step")
     # misc
     # pose-graph / loop-closure gates (full mode; None = GraphConfig default)
     p.add_argument("--keyframe-dist", type=float, default=None,
@@ -313,9 +325,15 @@ def main(argv=None) -> int:
         from slam2d_tpu.config import PFConfig
         from slam2d_tpu.run.fastslam_run import run_fastslam
 
+        pf_noise = {}
+        if args.pf_noise_xy is not None:
+            pf_noise["noise_xy"] = args.pf_noise_xy
+        if args.pf_noise_theta is not None:
+            pf_noise["noise_theta"] = args.pf_noise_theta
         pf = PFConfig(
             n_particles=args.particles, map_dtype=args.map_dtype,
             refine_chunk=args.refine_chunk, refine_mode=args.refine_mode,
+            update_mode=args.update_mode, **pf_noise,
         )
         init_state = None
         if args.resume_state:
