@@ -224,21 +224,42 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
         def ring_exchange(maps_flat):
-            # statically unrolled: n_shards is small and the final hop's
-            # permute would be dead work, so it is simply omitted
-            blk = maps_flat
-            out = jnp.zeros_like(maps_flat)
-            for k in range(n_shards):
+            # Ancestor-distance-bounded ring (SURVEY §9 "exchange ancestor
+            # indices, copy maps lazily"): hop k delivers blocks from ring
+            # distance k, and systematic ancestors cluster near their own
+            # shard (most rows survive locally), so the pmax'd maximum
+            # needed distance — usually 0 or 1 — bounds the live hops. The
+            # previous static unroll shipped the full per-shard map stack
+            # n_shards-1 times over ICI on every trigger regardless of
+            # need. The trip bound is a pmax-replicated scalar, so the
+            # dynamic while_loop takes the same trips on every shard
+            # (SPMD-safe, like the do_resample cond above).
+            k_need = jnp.mod(shard - idx // Pl, n_shards)      # [Pl]
+            d_max = jax.lax.pmax(jnp.max(k_need), axis)
+
+            def contrib(k, blk):
                 src_shard = jnp.mod(shard - k, n_shards)
                 gidx = src_shard * Pl + jnp.arange(Pl, dtype=jnp.int32)
-                mask = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
-                # each output row receives exactly ONE nonzero contribution
-                # across all hops, so accumulating in the map dtype is exact
-                out = out + jnp.dot(
+                mask = (idx[:, None] == gidx[None, :]).astype(
+                    maps_flat.dtype
+                )
+                # each output row receives exactly ONE nonzero
+                # contribution across all hops, so accumulating in the
+                # map dtype is exact
+                return jnp.dot(
                     mask, blk, preferred_element_type=jnp.float32
                 ).astype(maps_flat.dtype)
-                if k < n_shards - 1:
-                    blk = jax.lax.ppermute(blk, axis, perm)
+
+            def body(c):
+                k, blk, out = c
+                blk = jax.lax.ppermute(blk, axis, perm)
+                return k + 1, blk, out + contrib(k, blk)
+
+            _, _, out = jax.lax.while_loop(
+                lambda c: c[0] <= d_max,
+                body,
+                (jnp.int32(1), maps_flat, contrib(0, maps_flat)),
+            )
             return out
 
         maps_new = jax.lax.cond(

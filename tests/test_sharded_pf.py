@@ -130,3 +130,61 @@ def test_sharded_resample_migrates_across_shards(mesh):
     m2 = np.asarray(state2.logodds)
     # the winner's map content replicated to every particle
     assert np.all(m2[:, 64, 64] > 1.0)
+
+
+def test_bounded_ring_matches_full_unroll():
+    """The ancestor-distance-bounded ring exchange must equal the full
+    static unroll for ANY ancestor pattern — including all-local (0 hops)
+    and worst-case max-distance migration."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as PS
+    from jax.experimental.shard_map import shard_map
+
+    n_shards, Pl, N = 8, 3, 64
+    P = n_shards * Pl
+    mesh = make_particle_mesh(n_shards)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    axis = mesh.axis_names[0]
+
+    def bounded(maps_flat, idx, shard):
+        k_need = jnp.mod(shard - idx // Pl, n_shards)
+        d_max = jax.lax.pmax(jnp.max(k_need), axis)
+
+        def contrib(k, blk):
+            src = jnp.mod(shard - k, n_shards)
+            gidx = src * Pl + jnp.arange(Pl, dtype=jnp.int32)
+            m = (idx[:, None] == gidx[None, :]).astype(maps_flat.dtype)
+            return jnp.dot(m, blk, preferred_element_type=jnp.float32
+                           ).astype(maps_flat.dtype)
+
+        def body(c):
+            k, blk, out = c
+            blk = jax.lax.ppermute(blk, axis, perm)
+            return k + 1, blk, out + contrib(k, blk)
+
+        _, _, out = jax.lax.while_loop(
+            lambda c: c[0] <= d_max, body,
+            (jnp.int32(1), maps_flat, contrib(0, maps_flat)))
+        return out
+
+    def run(ancestors):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(PS(axis), PS(axis)),
+            out_specs=PS(axis),
+        )
+        def f(maps, idx):
+            shard = jax.lax.axis_index(axis)
+            return bounded(maps, idx[:, 0], shard)
+
+        maps = jnp.arange(P * N, dtype=jnp.float32).reshape(P, N) + 1.0
+        out = np.asarray(f(maps, ancestors.reshape(P, 1)))
+        want = np.asarray(maps)[np.asarray(ancestors)]
+        np.testing.assert_array_equal(out, want)
+
+    rng = np.random.default_rng(0)
+    run(jnp.arange(P, dtype=jnp.int32))                       # all local
+    run(jnp.asarray(rng.integers(0, P, P), jnp.int32))        # random
+    run(jnp.mod(jnp.arange(P, dtype=jnp.int32) + Pl, P))      # +1 shard
+    run(jnp.full((P,), P - 1, jnp.int32))                     # worst case
