@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--update-impl", default="auto")
     ap.add_argument("--update-mode", default="auto",
                     help="PFConfig.update_mode (auto|shared|per_particle)")
+    ap.add_argument("--update-theta-slots", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0, help="PF RNG seed")
     # proposal noise ~2.5x the bench log's odometry noise (0.004/0.002
     # per step): the filter's motion model matched to the robot's spec.
     # The library defaults (0.04/0.02) target 10x noisier logs and make
@@ -67,6 +69,7 @@ def main():
     pf = PFConfig(
         n_particles=args.particles, map_dtype=args.map_dtype,
         refine_chunk=args.refine_chunk, update_mode=args.update_mode,
+        update_theta_slots=args.update_theta_slots,
         **noise,
     )
 
@@ -109,9 +112,9 @@ def main():
         # is timed end to end (np outputs of run_fastslam ARE the sync)
         from slam2d_tpu.run.fastslam_run import run_fastslam
 
-        run_fastslam(log, cfg, pf, seed=0)
+        run_fastslam(log, cfg, pf, seed=args.seed)
         t0 = time.perf_counter()
-        _, best_traj, _, _ = run_fastslam(log, cfg, pf, seed=0)
+        _, best_traj, _, _ = run_fastslam(log, cfg, pf, seed=args.seed)
         dt = time.perf_counter() - t0
         rate = len(log["odom"]) / dt
         from slam2d_tpu.metrics import ate_rmse

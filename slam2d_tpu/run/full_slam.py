@@ -563,9 +563,13 @@ class LoopCloser:
             dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
         else:
             dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
-        self.chi2 = float(chi)
+        # ONE blocking fetch for poses + chi (separate np.asarray/float
+        # calls each cost a full tunnel RTT)
+        corrected, chi_h = jax.device_get(
+            (dev_graph.poses[: len(self.kf_poses)], chi)
+        )
+        self.chi2 = float(chi_h)
         old_kf = np.stack(self.kf_poses)
-        corrected = np.asarray(dev_graph.poses[: len(self.kf_poses)])
         self.graph.set_poses(corrected)
         for k in range(len(self.kf_poses)):
             self.kf_poses[k] = corrected[k]
