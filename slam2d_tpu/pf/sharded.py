@@ -102,8 +102,16 @@ def _global_log_normalize(log_w, axis):
 
 
 def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
-                      axis: str = PARTICLE_AXIS):
-    """Build the shard_map'ped per-scan step function."""
+                      axis: str = PARTICLE_AXIS, gates=None):
+    """Build the shard_map'ped per-scan step function.
+
+    gates: None keeps the dynamic lax.cond stage gating (the single-
+    program chunk form). A (refine, update, boot) bool tuple makes the
+    gates STATIC for the host-gated driver — stage-specialized programs
+    with no map-shaped cond joins, exactly like pf/fastslam.py's
+    make_heavy_step (the gates are odometry-derived, identical on every
+    shard, so the host can decide them). The data-dependent resample
+    trigger stays a lax.cond either way."""
     n_shards = mesh.shape[axis]
     P_total = pf.n_particles
     assert P_total % n_shards == 0, (
@@ -125,12 +133,17 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         )
         priors = se2.compose(state.poses, delta[None, :] + noise)
 
-        in_boot = state.dist < cfg.bootstrap_dist
         rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
             cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
         )
         since_m = state.since_match + step_len + rot_equiv
-        do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
+        if gates is None:
+            in_boot = state.dist < cfg.bootstrap_dist
+            do_refine = (~in_boot) & (since_m >= cfg.match_min_motion)
+        else:
+            g_refine, g_update, g_boot = gates
+            in_boot = jnp.bool_(g_boot)
+            do_refine = jnp.bool_(g_refine)
 
         # Heavy per-particle matching behind lax.cond — the predicate is a
         # function of replicated scalars, so every shard takes the same
@@ -166,7 +179,14 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         def skip_match(_):
             return priors, jnp.full((Pl,), -1.0, jnp.float32)
 
-        matched, scores = jax.lax.cond(do_refine, refine_branch, skip_match, None)
+        if gates is None:
+            matched, scores = jax.lax.cond(
+                do_refine, refine_branch, skip_match, None
+            )
+        else:
+            matched, scores = (
+                refine_branch(None) if g_refine else skip_match(None)
+            )
 
         # boot: noisy propagation for diversity; between refinements:
         # noiseless dead-reckoning; refinement: matched pose
@@ -191,17 +211,38 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         from slam2d_tpu.pf.fastslam import _update_all
 
         pf_local = _dc.replace(pf, n_particles=Pl)
-        logodds = jax.lax.cond(
-            do_update,
-            lambda _: _update_all(
-                state.logodds, poses, ranges, cfg, pf_local
-            ),
-            lambda _: state.logodds,
-            None,
-        )
-        since = jnp.where(do_update, 0.0, since)
+        if gates is None:
+            logodds = jax.lax.cond(
+                do_update,
+                lambda _: _update_all(
+                    state.logodds, poses, ranges, cfg, pf_local
+                ),
+                lambda _: state.logodds,
+                None,
+            )
+            since = jnp.where(do_update, 0.0, since)
+        elif g_update:
+            logodds = _update_all(state.logodds, poses, ranges, cfg, pf_local)
+            since = jnp.float32(0.0)
+        else:
+            logodds = state.logodds
 
         # ---- global systematic resampling ---------------------------------
+        if gates is not None and not g_refine:
+            # resampling only triggers on refine scans (weights unchanged
+            # otherwise); the static no-refine programs skip the whole
+            # resample graph — no ancestor collectives, no map-shaped cond
+            dist = state.dist + step_len
+            new_state = PFState(
+                logodds, poses, log_w, odom, rng, dist, since, since_m
+            )
+            best_local = jnp.argmax(log_w)
+            cand_w = jax.lax.all_gather(log_w[best_local], axis)
+            cand_pose = jax.lax.all_gather(poses[best_local], axis)
+            b = jnp.argmax(cand_w)
+            return new_state, (
+                cand_pose[b], n_eff, jnp.float32(-1.0)
+            )
         do_resample = do_refine & (n_eff < pf.resample_threshold * P_total)
         u = jax.random.uniform(jax.random.fold_in(k_step, 10_000_019))
         log_w_all = jax.lax.all_gather(log_w, axis, tiled=True)
@@ -323,3 +364,67 @@ def make_sharded_chunk_fn(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         return jax.lax.scan(body, state, (odom_chunk, ranges_chunk))
 
     return chunk_fn
+
+
+@functools.cache
+def make_sharded_heavy_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
+                            refine: bool, update: bool, boot: bool,
+                            axis: str = PARTICLE_AXIS):
+    """Stage-specialized sharded step for the host-gated driver (the
+    sharded analog of pf/fastslam.py make_heavy_step): motion gates are
+    static, only the n_eff resample trigger remains a cond."""
+    step = make_sharded_step(
+        cfg, pf, mesh, axis, gates=(bool(refine), bool(update), bool(boot))
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.cache
+def make_sharded_light_chunk(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
+                             seg_len: int, axis: str = PARTICLE_AXIS):
+    """Sharded dead-reckoning run over up to seg_len NO-STAGE scans — the
+    sharded analog of pf/fastslam.py make_light_chunk. The map stack is
+    never an argument; the best particle is resolved globally once per
+    segment (weights don't change on light scans). RNG consumes one
+    split per valid scan, matching the ungated sharded step's stream."""
+
+    def run(poses, log_w, rng, prev_odom, dist, since_u, since_m,
+            odom_seg, n_valid):
+        _, n_eff = _global_log_normalize(log_w, axis)
+        best_local = jnp.argmax(log_w)
+        cand_w = jax.lax.all_gather(log_w[best_local], axis)
+        b = jnp.argmax(cand_w)
+
+        def body(c, inp):
+            i, o = inp
+            poses, rng, prev, dist, su, sm = c
+            rng2, _ = jax.random.split(rng)
+            rng = jnp.where(i < n_valid, rng2, rng)
+            delta = se2.between(prev, o)
+            step_len = jnp.hypot(delta[0], delta[1])
+            rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+                cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+            )
+            poses = se2.compose(poses, delta[None, :])
+            c2 = (poses, rng, o, dist + step_len, su + step_len,
+                  sm + step_len + rot_equiv)
+            return c2, poses[best_local]
+
+        (poses, rng, prev, dist, su, sm), bp_local = jax.lax.scan(
+            body,
+            (poses, rng, prev_odom, dist, since_u, since_m),
+            (jnp.arange(seg_len, dtype=jnp.int32), odom_seg),
+        )
+        bp = jax.lax.all_gather(bp_local, axis)[b]        # [seg, 3]
+        return poses, rng, prev, dist, su, sm, bp, n_eff
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None), P(None), P(), P(), P(),
+                  P(None, None), P()),
+        out_specs=(P(axis, None), P(None), P(None), P(), P(), P(),
+                   P(None, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -55,16 +55,26 @@ def make_pf_chunk_fn(cfg: FrontendConfig, pf: PFConfig):
 LIGHT_SEG = 16   # static length of the dead-reckoning light run
 
 
-def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb):
+def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb,
+                             heavy_factory=None, light_factory=None):
     """Host-gated execution (module docstring). Stage patterns are decided
-    from odometry on the host; the step programs carry no map-shaped cond."""
+    from odometry on the host; the step programs carry no map-shaped cond.
+
+    heavy_factory(refine, update, boot) / light_factory(seg_len) default
+    to the single-device step builders; run_sharded_fastslam passes the
+    shard_map'd equivalents (the gates are odometry-derived and identical
+    on every shard, so the same host loop drives both)."""
+    if heavy_factory is None:
+        heavy_factory = lambda r, u, b: make_heavy_step(cfg, pf, r, u, b)
+    if light_factory is None:
+        light_factory = lambda n: make_light_chunk(cfg, pf, n)
     T = len(odom)
     # gate accumulators from the (possibly restored) state: one fetch
     dist0, su0, sm0, prev0 = jax.device_get(
         (state.dist, state.since_update, state.since_match, state.prev_odom)
     )
     flags = host_gate_flags(odom, cfg, prev0, dist0, su0, sm0)
-    light_fn = make_light_chunk(cfg, pf, LIGHT_SEG)
+    light_fn = light_factory(LIGHT_SEG)
 
     bps, nes, scs = [], [], []
     frame_buf: list = []   # host rows awaiting the next frame (opt-in cost)
@@ -84,8 +94,8 @@ def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb):
     while t < T:
         do_refine, do_update, in_boot = flags[t]
         if do_refine or do_update or in_boot:
-            step = make_heavy_step(
-                cfg, pf, bool(do_refine), bool(do_update), bool(in_boot)
+            step = heavy_factory(
+                bool(do_refine), bool(do_update), bool(in_boot)
             )
             state, (bp, ne, sc) = step(
                 state, jnp.asarray(odom[t]), jnp.asarray(ranges[t])

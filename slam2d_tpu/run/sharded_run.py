@@ -23,12 +23,23 @@ def run_sharded_fastslam(
     seed: int = 0,
     n_devices: int | None = None,
     state=None,
+    host_gated: bool | None = None,
 ):
     """Returns (final_state, best_traj [T, 3], n_eff [T], best_scores [T]).
 
     `state`: resume from a checkpointed PFState (host or single-device
-    arrays are re-placed shard-by-shard onto the mesh)."""
-    from slam2d_tpu.pf.sharded import place_state
+    arrays are re-placed shard-by-shard onto the mesh).
+
+    `host_gated`: as in run_fastslam — stage-specialized sharded programs
+    dispatched per the host's odometry-derived gates (no map-shaped cond
+    joins; the gates are replicated scalars, identical on every shard),
+    vs the single-program lax.cond chunk form. Default (None): gated iff
+    n_particles >= pf.host_gate_min_particles."""
+    from slam2d_tpu.pf.sharded import (
+        make_sharded_heavy_step,
+        make_sharded_light_chunk,
+        place_state,
+    )
 
     mesh = make_particle_mesh(n_devices)
     odom = np.asarray(log["odom"], np.float32)
@@ -43,6 +54,21 @@ def run_sharded_fastslam(
         state = state._replace(prev_odom=jnp.asarray(odom[0]))
     else:
         state = place_state(state, mesh)
+
+    if host_gated is None:
+        host_gated = pf.n_particles >= pf.host_gate_min_particles
+    if host_gated:
+        from slam2d_tpu.run.fastslam_run import _run_fastslam_host_gated
+
+        return _run_fastslam_host_gated(
+            odom, ranges, cfg, pf, state, None,
+            heavy_factory=lambda r, u, b: make_sharded_heavy_step(
+                cfg, pf, mesh, r, u, b
+            ),
+            light_factory=lambda n: make_sharded_light_chunk(
+                cfg, pf, mesh, n
+            ),
+        )
     chunk_fn = make_sharded_chunk_fn(cfg, pf, mesh)
 
     trajs, neffs, scores = [], [], []

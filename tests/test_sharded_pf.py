@@ -188,3 +188,25 @@ def test_bounded_ring_matches_full_unroll():
     run(jnp.asarray(rng.integers(0, P, P), jnp.int32))        # random
     run(jnp.mod(jnp.arange(P, dtype=jnp.int32) + Pl, P))      # +1 shard
     run(jnp.full((P,), P - 1, jnp.int32))                     # worst case
+
+
+def test_host_gated_sharded_matches_ungated():
+    """The host-gated sharded driver (stage-specialized shard_map programs
+    + sharded light chunks) must reproduce the single-program lax.cond
+    form: same RNG stream, same collectives, same trajectory."""
+    from slam2d_tpu.run.sharded_run import run_sharded_fastslam
+
+    cfg, pf = _cfg()
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[2.0, 2.0], [2.0, 9.0], [9.0, 9.0], [9.0, 2.5]])
+    log = simulate_log(world, wp, cfg.sensor, step=0.2, seed=3)
+
+    _, tr_u, ne_u, sc_u = run_sharded_fastslam(
+        log, cfg, pf, seed=0, host_gated=False
+    )
+    st_g, tr_g, ne_g, sc_g = run_sharded_fastslam(
+        log, cfg, pf, seed=0, host_gated=True
+    )
+    np.testing.assert_allclose(tr_g, tr_u, atol=1e-4)
+    np.testing.assert_allclose(ne_g, ne_u, rtol=1e-4)
+    assert np.isfinite(np.asarray(st_g.logodds)).all()
