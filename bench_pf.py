@@ -38,6 +38,11 @@ def main():
                     help="PFConfig.update_mode (auto|shared|per_particle)")
     ap.add_argument("--update-theta-slots", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0, help="PF RNG seed")
+    ap.add_argument("--resolution", type=float, default=0.1,
+                    help="map cell size, m (0.05 = the frontend bench's "
+                         "production res; doubles every window dim)")
+    ap.add_argument("--grid", type=int, default=512,
+                    help="per-particle map cells per side")
     # proposal noise ~2.5x the bench log's odometry noise (0.004/0.002
     # per step): the filter's motion model matched to the robot's spec.
     # The library defaults (0.04/0.02) target 10x noisier logs and make
@@ -54,7 +59,8 @@ def main():
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
-            height=512, width=512, resolution=0.1, ray_samples=128,
+            height=args.grid, width=args.grid, resolution=args.resolution,
+            ray_samples=int(128 * 0.1 / args.resolution),
             center_x=10.0, center_y=10.0, update_impl=args.update_impl,
         ),
         matcher=MatcherConfig(search_xy=0.25, search_theta=0.12, n_theta=9),

@@ -13,7 +13,9 @@ write of the field. Per grid program (= one particle):
   1. DMA an 8/128-aligned superset of the window straight from the
      particle's HBM-resident map into VMEM (the window origin is data
      dependent — scalar-prefetched row/col origins, clipped and aligned
-     in-kernel).
+     in-kernel). Loads are double-buffered across grid programs: program
+     p starts p+1's copy before computing on p's, so the HBM read rides
+     under the field math.
   2. In-register dynamic rolls bring the true (unclamped, possibly
      out-of-map) window origin to a fixed padded frame position; a
      select against the in-window/in-map mask zeroes everything else,
@@ -140,10 +142,17 @@ def _field_kernel(
 
 def fused_field_supported(Hm: int, Wm: int, win: int, pad: int) -> bool:
     """The aligned-DMA covering argument needs 8/128-divisible map dims and
-    room for the alignment slack."""
+    room for the alignment slack. The win cap is Mosaic's SCOPED VMEM
+    STACK limit (16 MB): the whole-frame-resident field math measured
+    20.59 M scoped at win=528 on chip (AOT compile OOM) — the same
+    failure mode as the blur kernel's documented 512² OOM. 416 leaves
+    ~25% headroom; larger windows fall back to the XLA chain."""
     Rd = win + 2 * pad
     Cd = ((win + 128 + 127) // 128) * 128
-    return Hm % 8 == 0 and Wm % 128 == 0 and Hm >= Rd and Wm >= Cd and pad <= 64
+    return (
+        Hm % 8 == 0 and Wm % 128 == 0 and Hm >= Rd and Wm >= Cd
+        and pad <= 64 and win <= 416
+    )
 
 
 @functools.partial(

@@ -196,7 +196,7 @@ def shared_refine(
     hw = blur_halo_cells(mcfg, res)
     fpad = max(8, ((hw + 7) // 8) * 8)
     Hm, Wm = grids.shape[1], grids.shape[2]
-    use_fused = win <= 768 and fused_field_supported(Hm, Wm, win, fpad)
+    use_fused = fused_field_supported(Hm, Wm, win, fpad)
 
     # stack frame follows the field builder: the fused kernel emits the
     # unpadded win^2 frame in every mode; the chunked XLA chain keeps the
