@@ -43,6 +43,10 @@ def main():
                          "production res; doubles every window dim)")
     ap.add_argument("--grid", type=int, default=512,
                     help="per-particle map cells per side")
+    ap.add_argument("--match-min-motion", type=float, default=None,
+                    help="refinement motion gate, m (fine-res runs need "
+                         "~0.25 — the frontend's documented tuning)")
+    ap.add_argument("--update-subcell", type=int, default=1)
     # proposal noise ~2.5x the bench log's odometry noise (0.004/0.002
     # per step): the filter's motion model matched to the robot's spec.
     # The library defaults (0.04/0.02) target 10x noisier logs and make
@@ -66,6 +70,8 @@ def main():
         matcher=MatcherConfig(search_xy=0.25, search_theta=0.12, n_theta=9),
         chunk=32,
         bootstrap_dist=2.0,
+        **({"match_min_motion": args.match_min_motion}
+           if args.match_min_motion is not None else {}),
     )
     noise = {}
     if args.noise_xy is not None:
@@ -76,6 +82,7 @@ def main():
         n_particles=args.particles, map_dtype=args.map_dtype,
         refine_chunk=args.refine_chunk, update_mode=args.update_mode,
         update_theta_slots=args.update_theta_slots,
+        update_subcell=args.update_subcell,
         **noise,
     )
 

@@ -182,6 +182,13 @@ class PFConfig:
     update_mode: str = "auto"
     update_theta_slots: int = 16
     update_shared_min_particles: int = 256
+    # Sub-cell anchor grid for the shared update's images: each theta
+    # slot splits into update_subcell^2 sensor-offset variants inside the
+    # anchor cell, cutting the translation quantization error from res/2
+    # to res/(2*update_subcell) per axis at subcell^2 x the image-build
+    # cost (measured trade at P=1000 in docs/COMPONENTS.md). 1 = plain
+    # cell-center anchoring.
+    update_subcell: int = 1
     # Driver dispatch strategy threshold: host-gated stage dispatch issues
     # ~one program per scan, whose host-side enqueue cost over a remote-TPU
     # tunnel (~2.4 ms/scan measured) only amortizes when per-scan device

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 
 from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
-from slam2d_tpu.grid.occupancy import integrate_scan, world_to_cell
+from slam2d_tpu.grid.occupancy import (
+    cell_center_world,
+    integrate_scan,
+    world_to_cell,
+)
 from slam2d_tpu.grid.window import (
     extract_window,
     update_window_cells,
@@ -87,19 +91,53 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     # for one scan (|upd| <= a few increments << l_clamp)
     img_cfg = dataclasses.replace(gcfg, height=win, width=win)
 
-    def one_image(th):
-        pose_g = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), th])
+    def one_image(th, off_xy):
+        pose_g = jnp.concatenate([off_xy, th[None]])
         return integrate_scan(
             jnp.zeros((win, win), jnp.float32), pose_g, ranges,
             img_cfg, cfg.sensor, origin_xy=img_origin, auto_ctx="pf",
         )
 
-    # vmap (one leading pallas grid dim) schedules the G kernel runs
-    # better than lax.map's sequential loop
-    images = jax.vmap(one_image)(slot_theta)         # [G, win, win]
+    # ---- optional sub-cell anchors (update_subcell=2) ---------------------
+    # each theta slot splits into a QxQ grid of sensor-position offsets
+    # inside the anchor cell (Q=2: offsets ±res/4 -> max translation
+    # quantization error drops from res/2 to res/4 per axis at Q^2 x the
+    # image-build cost). The particle picks the sub-cell of its pose's
+    # fraction within the anchor cell.
+    Q = int(getattr(pf, "update_subcell", 1))
+    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
+    if Q > 1:
+        centers = jax.vmap(lambda a: cell_center_world(a, gcfg))(anchors)
+        frac = (poses[:, :2] - centers) / res            # [-0.5, 0.5) per axis
+        qx = jnp.clip(
+            jnp.floor((frac[:, 0] + 0.5) * Q).astype(jnp.int32), 0, Q - 1
+        )
+        qy = jnp.clip(
+            jnp.floor((frac[:, 1] + 0.5) * Q).astype(jnp.int32), 0, Q - 1
+        )
+        slot = (slot * Q + qy) * Q + qx                  # [P] in [0, G*Q*Q)
+        offs = (jnp.arange(Q, dtype=jnp.float32) + 0.5) / Q - 0.5  # cell frac
+        th_g, oy_g, ox_g = jnp.meshgrid(
+            slot_theta, offs * res, offs * res, indexing="ij"
+        )
+        images = jax.vmap(one_image)(
+            th_g.reshape(-1),
+            jnp.stack([ox_g.reshape(-1), oy_g.reshape(-1)], axis=1),
+        )                                                # [G*Q*Q, win, win]
+        G = G * Q * Q
+    else:
+        # vmap (one leading pallas grid dim) schedules the G kernel runs
+        # better than lax.map's sequential loop
+        images = jax.vmap(
+            lambda th: one_image(th, jnp.zeros((2,), jnp.float32))
+        )(slot_theta)                                    # [G, win, win]
+
+    # keep the VMEM-resident image stack within budget: bf16 images above
+    # ~4 MB f32 (the increments are a few tenths — bf16 ulp ~2e-3 there)
+    if images.size * 4 > 4 * 2**20:
+        images = images.astype(jnp.bfloat16)
 
     # ---- per-particle select + shifted add -------------------------------
-    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
 
     from slam2d_tpu.ops.pallas_apply import (
         shared_apply_supported,

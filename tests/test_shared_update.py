@@ -126,3 +126,48 @@ def test_fastslam_ate_with_shared_update():
     a_sh = ate_rmse(tr_sh, gt, align=False)
     a_od = ate_rmse(log["odom"], gt, align=False)
     assert a_sh < max(1.5 * a_pp, 0.8 * a_od), (a_sh, a_pp, a_od)
+
+
+def test_subcell_anchors_reduce_quantization():
+    """update_subcell=2 (quarter-cell anchor images) must land marks
+    strictly closer to the exact per-particle update than cell-center
+    anchoring, and stay within the apply kernel's supported path."""
+    import dataclasses
+
+    from slam2d_tpu.config import (
+        FrontendConfig, GridConfig, MatcherConfig, PFConfig, SensorConfig,
+    )
+    from slam2d_tpu.grid.occupancy import raycast_update
+    from slam2d_tpu.pf.shared_update import shared_update
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=48, max_range=6.0),
+        grid=GridConfig(height=256, width=256, resolution=0.1,
+                        ray_samples=64, center_x=10.0, center_y=10.0),
+        matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=5),
+    )
+    rng = np.random.default_rng(1)
+    P = 12
+    poses = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(9.0, 11.0, (P, 2)), rng.uniform(-0.3, 0.3, (P, 1))],
+            axis=1,
+        ).astype(np.float32)
+    )
+    ranges = jnp.asarray(rng.uniform(1.0, 5.5, 48).astype(np.float32))
+    maps0 = jnp.zeros((P, 256, 256), jnp.float32)
+
+    exact = jax.vmap(
+        lambda p: raycast_update(
+            jnp.zeros((256, 256), jnp.float32), p, ranges,
+            cfg.grid, cfg.sensor,
+        )
+    )(poses)
+
+    errs = {}
+    for q in (1, 2):
+        pf = PFConfig(n_particles=P, update_mode="shared",
+                      update_theta_slots=8, update_subcell=q)
+        out = shared_update(maps0, poses, ranges, cfg, pf)
+        errs[q] = float(jnp.mean(jnp.abs(out - exact)))
+    assert errs[2] < errs[1], errs
