@@ -123,16 +123,27 @@ def _apply_kernel(
         store(p - 1, 1 - s).wait()
 
 
-def shared_apply_supported(Hm: int, Wm: int, win: int) -> bool:
-    """Aligned-DMA covering argument + VMEM budget (images + frames at
-    win=384 measure ~11 MB of scoped VMEM; 448 is the blur kernel's
-    measured OOM point, stay below it)."""
+def shared_apply_supported(
+    Hm: int, Wm: int, win: int, n_images: int = 16,
+    image_bytes: int = 4, map_bytes: int = 4,
+) -> bool:
+    """Aligned-DMA covering argument + VMEM budget. The budget must count
+    the VMEM-RESIDENT image stack (n_images grows with update_subcell^2
+    and update_theta_slots, not just win): images + 4 load/result slots
+    + ~3 live [Rd, Cd] f32 compute frames, capped at 12 MB — below
+    Mosaic's 16 MB scoped-VMEM stack limit with the headroom the blur
+    kernel's measured 512² OOM taught (CLAUDE.md)."""
     pad = 8
     Rd = win + 2 * pad
     Cd = ((win + 128 + 127) // 128) * 128
+    vmem = (
+        n_images * win * win * image_bytes
+        + 4 * Rd * Cd * map_bytes
+        + 3 * Rd * Cd * 4
+    )
     return (
         Hm % 8 == 0 and Wm % 128 == 0 and Hm >= Rd and Wm >= Cd
-        and win <= 384
+        and win <= 384 and vmem <= 12 * 2**20
     )
 
 

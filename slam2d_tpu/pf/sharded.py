@@ -35,11 +35,8 @@ from slam2d_tpu.config import FrontendConfig, PFConfig
 from slam2d_tpu.core import se2
 from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import (
-    refine_matcher,
     PFState,
-    _resolve_refine_mode,
-    _windowed_match,
-    _windowed_update,
+    _refine_all,
     systematic_ancestors,
 )
 

@@ -145,7 +145,12 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     )
 
     Hg, Wg = logodds.shape[-2:]
-    if shared_apply_supported(Hg, Wg, win):
+    if shared_apply_supported(
+        Hg, Wg, win,
+        n_images=G,
+        image_bytes=images.dtype.itemsize,
+        map_bytes=logodds.dtype.itemsize,
+    ):
         # one read + one write of each particle's window, images VMEM-
         # resident, in-place on the donated map stack (module docstring)
         return shared_apply_update(
