@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _apply_kernel(
     ar_ref, ac_ref, slot_ref,           # scalar prefetch [P]
     images_ref,                          # [G, win, win] VMEM
-    maps_ref,                            # [P, Hm, Wm] ANY (aliased to out)
+    maps_ref,                            # [P, Hm, Wm] ANY — ALIAS-ONLY:
+    #   never read/written directly; input_output_aliases={4: 0} makes
+    #   out_ref the same buffer, and ALL loads/stores must go through
+    #   out_ref so the read-modify-write stays coherent.
     out_ref,                             # [P, Hm, Wm] ANY
     load_ref, res_ref, lsem, ssem,       # scratch
     *,

@@ -25,6 +25,7 @@ all shards agree on the global ancestors.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -37,6 +38,7 @@ from slam2d_tpu.parallel.mesh import PARTICLE_AXIS
 from slam2d_tpu.pf.fastslam import (
     PFState,
     _refine_all,
+    _update_all,
     systematic_ancestors,
 )
 
@@ -145,33 +147,16 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         # Heavy per-particle matching behind lax.cond — the predicate is a
         # function of replicated scalars, so every shard takes the same
         # branch (SPMD-safe) and non-refine scans pay nothing.
-        mcfg = refine_matcher(cfg, pf)
-        batched_match = jax.vmap(
-            lambda g, p: _windowed_match(g, ranges, p, cfg, mcfg)
-        )
+        # pf_local: every mode decision (shared-refine "auto" gating,
+        # refine_chunk batching, shared-update gating) resolves on the
+        # LOCAL particle count Pl — static and identical on every shard,
+        # so stage structure is SPMD-safe. Small shards that don't
+        # amortize the per-device shared splat-stack build fall back to
+        # per-particle matching automatically.
+        pf_local = dataclasses.replace(pf, n_particles=Pl)
 
         def refine_branch(_):
-            # shard-local shared-anchor refinement: the splat stack is
-            # rebuilt per shard from its local circular-mean heading
-            # (redundant compute, zero collectives — SPMD-safe because
-            # nothing about its shapes depends on shard data). "auto"
-            # gates on the LOCAL particle count: small shards don't
-            # amortize the per-device stack build.
-            if _resolve_refine_mode(pf, mcfg, Pl) == "shared":
-                from slam2d_tpu.pf.shared_refine import shared_refine
-
-                return shared_refine(
-                    state.logodds, ranges, priors, cfg, mcfg, pf
-                )
-            if pf.refine_chunk and Pl > pf.refine_chunk:
-                assert Pl % pf.refine_chunk == 0, (Pl, pf.refine_chunk)
-                nc = Pl // pf.refine_chunk
-                Hg, Wg = state.logodds.shape[-2:]
-                g_ = state.logodds.reshape(nc, pf.refine_chunk, Hg, Wg)
-                p_ = priors.reshape(nc, pf.refine_chunk, 3)
-                m, s = jax.lax.map(lambda a: batched_match(a[0], a[1]), (g_, p_))
-                return m.reshape(Pl, 3), s.reshape(Pl)
-            return batched_match(state.logodds, priors)
+            return _refine_all(state.logodds, ranges, priors, cfg, pf_local)
 
         def skip_match(_):
             return priors, jnp.full((Pl,), -1.0, jnp.float32)
@@ -201,13 +186,8 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         since = state.since_update + step_len
         do_update = in_boot | (since >= cfg.map_update_min_motion)
         # shard-local update batching: _update_all resolves per the LOCAL
-        # particle count (static), so every shard takes the same branch —
-        # SPMD-safe like the shard-local shared refinement above
-        import dataclasses as _dc
-
-        from slam2d_tpu.pf.fastslam import _update_all
-
-        pf_local = _dc.replace(pf, n_particles=Pl)
+        # particle count (static, via pf_local above), so every shard
+        # takes the same branch — SPMD-safe like the shared refinement
         if gates is None:
             logodds = jax.lax.cond(
                 do_update,

@@ -55,7 +55,13 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
                   pf: PFConfig):
     """Update every particle's map with one scan (module docstring).
 
-    logodds: [P, H, W]; poses: [P, 3]. Returns updated [P, H, W]."""
+    logodds: [P, H, W]; poses: [P, 3]. Returns updated [P, H, W].
+
+    DONATION CONTRACT: on the Pallas path the logodds buffer is DONATED
+    (shared_apply_update has donate_argnums=(0,)) and updated in place —
+    callers must not reuse their logodds reference after this call on
+    backends that honor donation (TPU). Pass jnp.array(logodds) to keep
+    the original alive."""
     import dataclasses
 
     gcfg = cfg.grid

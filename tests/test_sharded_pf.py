@@ -139,7 +139,7 @@ def test_bounded_ring_matches_full_unroll():
     from functools import partial
 
     from jax.sharding import PartitionSpec as PS
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards, Pl, N = 8, 3, 64
     P = n_shards * Pl

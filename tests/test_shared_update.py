@@ -168,6 +168,9 @@ def test_subcell_anchors_reduce_quantization():
     for q in (1, 2):
         pf = PFConfig(n_particles=P, update_mode="shared",
                       update_theta_slots=8, update_subcell=q)
-        out = shared_update(maps0, poses, ranges, cfg, pf)
+        # shared_update donates its logodds argument (donate_argnums=(0,));
+        # pass a fresh copy per iteration so the q=2 call never touches a
+        # deleted buffer on backends that honor donation (TPU).
+        out = shared_update(jnp.array(maps0), poses, ranges, cfg, pf)
         errs[q] = float(jnp.mean(jnp.abs(out - exact)))
     assert errs[2] < errs[1], errs
