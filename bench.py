@@ -103,6 +103,11 @@ def main():
 
     scans_per_sec = done / dt
     ref_sps = measure_reference_baseline(log)
+    # report the kernels that actually ran (VERDICT r2 weak item 3: the
+    # round-2 headline was ambiguous about which update_impl produced it)
+    from slam2d_tpu.grid.occupancy import resolve_update_impl
+    from slam2d_tpu.match.correlative import _resolve_impl
+
     print(
         json.dumps(
             {
@@ -111,6 +116,11 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / ref_sps, 2),
                 "reference_scans_per_sec": round(ref_sps, 3),
+                "update_impl": resolve_update_impl(
+                    cfg.grid, cfg.sensor, "frontend"
+                ),
+                "score_impl": _resolve_impl(cfg.matcher.score_impl),
+                "fine_theta_bins": cfg.matcher.fine_theta_bins,
             }
         )
     )

@@ -47,6 +47,10 @@ def main():
                     help="refinement motion gate, m (fine-res runs need "
                          "~0.25 — the frontend's documented tuning)")
     ap.add_argument("--update-subcell", type=int, default=1)
+    ap.add_argument("--update-qstep-cells", type=float, default=0.5,
+                    help="shared-update rotation quantization target in "
+                         "cells at max range (PFConfig.update_qstep_cells; "
+                         "halving it wants --update-theta-slots doubled)")
     # proposal noise ~2.5x the bench log's odometry noise (0.004/0.002
     # per step): the filter's motion model matched to the robot's spec.
     # The library defaults (0.04/0.02) target 10x noisier logs and make
@@ -83,6 +87,7 @@ def main():
         refine_chunk=args.refine_chunk, update_mode=args.update_mode,
         update_theta_slots=args.update_theta_slots,
         update_subcell=args.update_subcell,
+        update_qstep_cells=args.update_qstep_cells,
         **noise,
     )
 

@@ -100,6 +100,13 @@ def main():
     scan0 = 6 * cfg.chunk
     pose_now = jnp.asarray(np.asarray(tr)[-1])
     ranges = ranges_all[scan0]
+    # chunk_fn donates its input state: keep private copies for the
+    # stage timings below (and a fresh state per chunk-timing carry)
+    logodds = jnp.array(state.logodds)
+    S_cached = jnp.array(state.search_space)
+    import slam2d_tpu.run.frontend as _fe
+
+    state_copy = _fe.FrontendState(*(jnp.array(x) for x in state))
 
     win = scan_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
     uwin = update_window_cells(cfg.grid, cfg.sensor, cfg.matcher)
@@ -121,8 +128,6 @@ def main():
     out("per-scan (chunk/K)", t_chunk / cfg.chunk)
 
     # ---- match event per impl --------------------------------------------
-    S_cached = state.search_space
-    logodds = state.logodds
 
     for impl in ("mxu", "cmx", "emx"):
         mcfg = dataclasses.replace(cfg.matcher, score_impl=impl)
@@ -186,7 +191,7 @@ def main():
         return (st2, traj2, sc2)
 
     t_l = device_loop_time(
-        light_step, chunk_fn(state, o_still, r_still), iters=10
+        light_step, chunk_fn(state_copy, o_still, r_still), iters=10
     )
     out(f"light chunk[{cfg.chunk}] (no motion)", t_l)
     out("light per-scan", t_l / cfg.chunk)

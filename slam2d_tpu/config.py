@@ -101,6 +101,16 @@ class MatcherConfig:
     # bf16 operands (f32 accumulate) in the MXU scorer; ~2x matmul rate,
     # score noise ~0.1% of range.
     score_bf16: bool = True
+    # Fine-pass theta restriction (pyramid path only): the coarse pass
+    # already searches ALL n_theta bins at the SAME theta resolution (the
+    # pyramid only coarsens translation), so the fine pass re-scoring
+    # every theta is redundant work — it searches only +-fine_theta_bins
+    # bins around the coarse theta winner (a dynamic slice of the same
+    # theta grid; value-dynamic, shape-static). The fine matmul's one-hot
+    # traffic scales with the theta count: 13 -> 5 bins measured 0.462 ->
+    # ~0.29 ms per frontend match at ATE parity. <0 = full grid. The
+    # single-pass (no-pyramid) path always searches the full grid.
+    fine_theta_bins: int = 2
     occ_threshold: float = 0.5        # p(cell) above this counts as occupied
     occ_evidence_sat: float = 2.0     # log-odds at which a cell counts as a full wall
     free_threshold: float = 0.45      # p(cell) below this counts as known-free
@@ -189,6 +199,16 @@ class PFConfig:
     # cost (measured trade at P=1000 in docs/COMPONENTS.md). 1 = plain
     # cell-center anchoring.
     update_subcell: int = 1
+    # Target ROTATION quantization of the shared update, as max endpoint
+    # displacement in CELLS at the sensor's max range: the theta-slot
+    # step is 2 * update_qstep_cells * res / max_range (so a particle's
+    # residual rotation within a slot displaces its farthest mark by at
+    # most update_qstep_cells cells). 0.5 = the original half-cell step.
+    # NOTE: independent of update_theta_slots — G only sets COVERAGE
+    # (G * step around the cloud's circular mean); halving qstep_cells
+    # therefore wants G doubled to keep the same heading-spread coverage
+    # before the adaptive spread floor kicks in.
+    update_qstep_cells: float = 0.5
     # Driver dispatch strategy threshold: host-gated stage dispatch issues
     # ~one program per scan, whose host-side enqueue cost over a remote-TPU
     # tunnel (~2.4 ms/scan measured) only amortizes when per-scan device

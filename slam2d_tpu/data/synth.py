@@ -189,6 +189,44 @@ def corridor_loop_log(
     return world, simulate_log(world, wp, sensor, step=step, seed=seed, **noise)
 
 
+def endurance_log(
+    sensor: SensorConfig | None = None,
+    span: float = 28.0,
+    laps: int = 3,
+    step: float = 0.03,
+    seed: int = 0,
+    **noise,
+):
+    """Intel-Research-Lab-statistics-matched ENDURANCE log (SURVEY.md §8
+    datasets row; the real Radish logs are not on disk — see BASELINE.md).
+    Matched statistics: >= 10k scans (laps=3 at step=0.03 over a ~28 m
+    building span gives ~13k), 180 beams, ~3 cm/scan travel, and loop-
+    dense revisits — every post-first-lap scan re-observes mapped
+    territory, like Intel's repeated office tours.
+
+    Returns (world, log) like corridor_loop_log. The trajectory runs
+    `laps` full laps of the ring corridor with small per-lap lane
+    offsets (revisits are near, not identical, like a real robot).
+    """
+    sensor = sensor or SensorConfig()
+    world = corridor_world(span)
+    m = 1.5
+    rng = np.random.default_rng(seed + 1000)
+    wp = []
+    for lap in range(laps):
+        off = float(rng.uniform(-0.25, 0.25))
+        wp += [
+            [m + off, m + off],
+            [m + off, span - m - off],
+            [span - m - off, span - m - off],
+            [span - m - off, m + off],
+        ]
+    wp.append([m + 0.5, m])
+    return world, simulate_log(
+        world, np.asarray(wp), sensor, step=step, seed=seed, **noise
+    )
+
+
 def default_log(sensor: SensorConfig | None = None, step: float = 0.1, seed: int = 0):
     """A ~20x20 m loopy trajectory through the box-rooms world."""
     sensor = sensor or SensorConfig()

@@ -392,11 +392,13 @@ def match_scan(
     r_fine = int(round(mcfg.search_xy / gcfg.resolution))
     impl = _resolve_impl(mcfg.score_impl)
     single_pass = r_fine <= f
+    T_th = dthetas.shape[0]
     if single_pass:
         coarse_dx = jnp.float32(0.0)
         coarse_dy = jnp.float32(0.0)
         prior2 = prior_pose
         fine_off = jnp.arange(-r_fine, r_fine + 1, dtype=jnp.int32)
+        dth_fine = dthetas
     else:
         r_coarse = int(math.ceil(r_fine / f))
         coarse_off = jnp.arange(-r_coarse, r_coarse + 1, dtype=jnp.int32)
@@ -416,13 +418,26 @@ def match_scan(
 
         # --- fine pass: +/- one coarse cell at full res, bilinear ----------
         fine_off = jnp.arange(-f, f + 1, dtype=jnp.int32)
+        # Theta restriction (MatcherConfig.fine_theta_bins): the coarse
+        # pass searched ALL theta bins at the same theta resolution (the
+        # pyramid coarsens only translation), so the fine pass needs only
+        # a neighborhood of the coarse theta winner. Value-dynamic,
+        # shape-static slice of the theta grid; the scorer's one-hot
+        # traffic scales with the theta count.
+        ftb = mcfg.fine_theta_bins
+        if 0 <= ftb and 2 * ftb + 1 < T_th:
+            nft = 2 * ftb + 1
+            t0 = jnp.clip(tc - ftb, 0, T_th - nft)
+            dth_fine = lax.dynamic_slice(dthetas, (t0,), (nft,))
+        else:
+            dth_fine = dthetas
     sf = score_offsets(
-        S, prior2, pts_local, valid, dthetas, fine_off, fine_off,
+        S, prior2, pts_local, valid, dth_fine, fine_off, fine_off,
         gcfg.resolution, origin, bilinear=True, impl=impl, use_bf16=mcfg.score_bf16,
     )
     fine_m = fine_off.astype(jnp.float32) * gcfg.resolution
     sf_raw = sf
-    sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dthetas)
+    sf = sf - penalty(coarse_dx + fine_m, coarse_dy + fine_m, dth_fine)
     tf_, rf, cf = _argmax3(sf)
     # the PENALIZED surface picks the pose; the RAW field value at that
     # pose is the reported/gated match quality (min_score is calibrated
@@ -455,7 +470,7 @@ def match_scan(
         [
             prior2[0] + fine_off[cf].astype(jnp.float32) * gcfg.resolution + sub_c,
             prior2[1] + fine_off[rf].astype(jnp.float32) * gcfg.resolution + sub_r,
-            se2.wrap_angle(prior_pose[2] + dthetas[tf_] + sub_t),
+            se2.wrap_angle(prior_pose[2] + dth_fine[tf_] + sub_t),
         ]
     )
     pose = jnp.where(best >= mcfg.min_score, pose, prior_pose)

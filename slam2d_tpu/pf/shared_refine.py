@@ -124,14 +124,27 @@ def endpoint_shift_stack(ranges, sensor, thetas, win: int, R: int, C: int,
             axis=1,
         )                                            # [G, R*C, win+R, win+C]
         return stack.reshape(thetas.shape[0] * R * C, (win + R) * (win + C))
-    stack = jnp.stack(
-        [
-            jnp.pad(E, ((0, 0), (dr, 0), (dc, 0)))[:, :win, :win]
-            for dr in range(R)
-            for dc in range(C)
-        ],
-        axis=1,
-    )                                                # [G, R*C, win, win]
+    from slam2d_tpu.ops.pallas_stack import (
+        shift_stack_pallas,
+        stack_supported,
+    )
+
+    if stack_supported(win, R, C, E.dtype.itemsize):
+        # one E read + one stack write; the XLA form below schedules
+        # R*C separate pad+crop copies (measured 1.78 ms/event at
+        # FastSLAM-1000 shapes, the stack build's dominant cost)
+        stack = shift_stack_pallas(
+            E, R, C, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        stack = jnp.stack(
+            [
+                jnp.pad(E, ((0, 0), (dr, 0), (dc, 0)))[:, :win, :win]
+                for dr in range(R)
+                for dc in range(C)
+            ],
+            axis=1,
+        )                                            # [G, R*C, win, win]
     return stack.reshape(thetas.shape[0] * R * C, win * win)
 
 

@@ -75,9 +75,12 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     theta = poses[:, 2]
     mean_t = _circular_mean(theta)
     dth = se2.wrap_angle(theta - mean_t)
-    # slot step: half-cell endpoint error at max range unless the cloud's
-    # spread needs wider coverage (then error degrades gracefully)
-    qstep = res / max(cfg.sensor.max_range, res)
+    # slot step: update_qstep_cells-cell endpoint error at max range
+    # (default half-cell) unless the cloud's spread needs wider coverage
+    # (then error degrades gracefully)
+    qstep = (
+        2.0 * pf.update_qstep_cells * res / max(cfg.sensor.max_range, res)
+    )
     step = jnp.maximum(
         jnp.float32(qstep),
         2.0 * jnp.max(jnp.abs(dth)) / jnp.float32(max(G - 1, 1)),

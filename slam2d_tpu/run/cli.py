@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel (lattice-quantized marks, ~3x at P=1000), "
                         "or exact per-particle kernels (auto: shared at "
                         ">= 256 particles/device)")
+    p.add_argument("--update-qstep-cells", type=float, default=0.5,
+                   help="shared-update rotation quantization target: max "
+                        "endpoint displacement in cells at max range "
+                        "(PFConfig.update_qstep_cells; halving it wants "
+                        "--update-theta-slots doubled for coverage)")
+    p.add_argument("--update-theta-slots", type=int, default=16,
+                   help="shared-update global theta slots (coverage, not "
+                        "resolution — see PFConfig)")
     p.add_argument("--pf-noise-xy", type=float, default=None,
                    help="PF proposal noise sigma, m/step (default: "
                         "PFConfig's; match to the log's odometry spec)")
@@ -333,7 +341,9 @@ def main(argv=None) -> int:
         pf = PFConfig(
             n_particles=args.particles, map_dtype=args.map_dtype,
             refine_chunk=args.refine_chunk, refine_mode=args.refine_mode,
-            update_mode=args.update_mode, **pf_noise,
+            update_mode=args.update_mode,
+            update_theta_slots=args.update_theta_slots,
+            update_qstep_cells=args.update_qstep_cells, **pf_noise,
         )
         init_state = None
         if args.resume_state:
