@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _stack_kernel(E_ref, out_ref, *, R: int, C: int):
     win = E_ref.shape[1]
-    E = E_ref[0]                                        # [win, win]
+    # Mosaic's tpu.dynamic_rotate only supports 32-bit lanes ("Rotate with
+    # non-32-bit data" on chip for bf16, round-3 finding) — roll in f32 and
+    # cast back on store, so the HBM stack write stays in E's dtype.
+    E = E_ref[0].astype(jnp.float32)                    # [win, win]
     ri = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
     for dr in range(R):
@@ -41,7 +44,7 @@ def _stack_kernel(E_ref, out_ref, *, R: int, C: int):
             ok = rmask & (ci >= dc)
             out_ref[0, dr * C + dc] = jnp.where(
                 ok, rolled, jnp.zeros_like(rolled)
-            )
+            ).astype(out_ref.dtype)
 
 
 def stack_supported(win: int, R: int, C: int, itemsize: int) -> bool:
@@ -49,7 +52,8 @@ def stack_supported(win: int, R: int, C: int, itemsize: int) -> bool:
     within Mosaic's scoped-VMEM stack (16 MB; keep ~2x headroom like
     pf/shared_refine's blur gate — CLAUDE.md hard-won rule: validate any
     new gate on chip, CPU interpret can't see the limit)."""
-    vmem = (R * C + 1) * win * win * itemsize
+    # the E operand and the in-register rolls run in f32 (see _stack_kernel)
+    vmem = R * C * win * win * itemsize + 3 * win * win * 4
     return win % 8 == 0 and vmem <= 7 * 2**20
 
 

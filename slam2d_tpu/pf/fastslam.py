@@ -276,6 +276,13 @@ def _update_all(logodds, poses, ranges, cfg, pf):
         from slam2d_tpu.pf.shared_update import shared_update
 
         return shared_update(logodds, poses, ranges, cfg, pf)
+    if mode == "quantized_per_particle":
+        # diagnostic A/B for the shared-update ATE gap: the EXACT
+        # per-particle kernel at shared_update's quantized poses
+        # (see shared_update.quantize_update_poses)
+        from slam2d_tpu.pf.shared_update import quantize_update_poses
+
+        poses = quantize_update_poses(poses, cfg, pf)
     batched_upd = jax.vmap(lambda g, p: _windowed_update(g, p, ranges, cfg))
     if pf.refine_chunk and P > pf.refine_chunk:
         nc = P // pf.refine_chunk

@@ -37,6 +37,27 @@ from slam2d_tpu.match.correlative import (
     peak_uniqueness,
 )
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
+
+# Opt-in accept-path phase profiler (scripts/bench_accept_parts.py): a
+# utils.profiling.PhaseTimer, or None (default — zero overhead, no extra
+# syncs). When set, the accept path records per-phase host wall time WITH
+# hard syncs at phase boundaries so device time is attributed to the phase
+# that enqueued it; the syncs make the run slower than production, so only
+# benches should install it.
+ACCEPT_TIMER = None
+
+
+def _accept_phase(name: str):
+    import contextlib
+
+    if ACCEPT_TIMER is None:
+        return contextlib.nullcontext()
+    return ACCEPT_TIMER.phase(name)
+
+
+def _accept_sync(x):
+    if ACCEPT_TIMER is not None:
+        jax.block_until_ready(x)
 from slam2d_tpu.run.frontend_tiled import (
     _np_between,
     _np_between_batch,
@@ -550,24 +571,27 @@ class LoopCloser:
         self.n_loops += 1
 
         # optimize + apply corrections (ONE host->device graph transfer)
-        dev_graph = self.graph.to_device()
-        if self.optimizer == "schur":
-            from slam2d_tpu.graph.schur import optimize_schur
+        with _accept_phase("accept/graph_to_device"):
+            dev_graph = self.graph.to_device()
+            _accept_sync(dev_graph)
+        with _accept_phase("accept/optimize+fetch"):
+            if self.optimizer == "schur":
+                from slam2d_tpu.graph.schur import optimize_schur
 
-            dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
-        elif self.optimizer == "schur_sharded":
-            from slam2d_tpu.graph.schur import optimize_schur_sharded
-            from slam2d_tpu.parallel.mesh import make_particle_mesh
+                dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
+            elif self.optimizer == "schur_sharded":
+                from slam2d_tpu.graph.schur import optimize_schur_sharded
+                from slam2d_tpu.parallel.mesh import make_particle_mesh
 
-            mesh = make_particle_mesh()
-            dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
-        else:
-            dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
-        # ONE blocking fetch for poses + chi (separate np.asarray/float
-        # calls each cost a full tunnel RTT)
-        corrected, chi_h = jax.device_get(
-            (dev_graph.poses[: len(self.kf_poses)], chi)
-        )
+                mesh = make_particle_mesh()
+                dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
+            else:
+                dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
+            # ONE blocking fetch for poses + chi (separate np.asarray/float
+            # calls each cost a full tunnel RTT)
+            corrected, chi_h = jax.device_get(
+                (dev_graph.poses[: len(self.kf_poses)], chi)
+            )
         self.chi2 = float(chi_h)
         old_kf = np.stack(self.kf_poses)
         self.graph.set_poses(corrected)
@@ -579,10 +603,11 @@ class LoopCloser:
         # correct every emitted row: scans between keyframe k and k+1
         # move rigidly with keyframe k (including rows written after the
         # attempt's scan — an async accept resolves >= one chunk later)
-        _retro_correct_traj(
-            self.traj_out, self.kf_scan_idx, old_kf, corrected,
-            emitted_upto, offset=self.scan_index_offset,
-        )
+        with _accept_phase("accept/retro_correct_host"):
+            _retro_correct_traj(
+                self.traj_out, self.kf_scan_idx, old_kf, corrected,
+                emitted_upto, offset=self.scan_index_offset,
+            )
         # patch the live frontend pose: transport the motion since the
         # LAST keyframe (in its pre-correction frame) onto its corrected
         # pose. NOT the accepted keyframe k_new — by resolution time later
@@ -600,7 +625,8 @@ class LoopCloser:
         est = np.asarray(_np_compose(Tc, est), np.float32)
         # driver-specific tail: map rebuild + frontend-state patch; the
         # admission-gate reference rides with the same correction
-        self.apply_correction(Tc)
+        with _accept_phase("accept/apply_correction"):
+            self.apply_correction(Tc)
         return est, self.kf_poses[-1].copy(), Tc
 
 
@@ -720,19 +746,23 @@ def run_full_slam(
         poses_buf[:nk] = np.stack(kf_poses)
         scans_buf[:nk] = np.stack(kf_scans)
         mask_buf[:nk] = 1.0
-        new_grid = rebuild(
-            jnp.asarray(poses_buf), jnp.asarray(scans_buf),
-            jnp.asarray(mask_buf), n_active=nk,
-        )
-        new_pose = se2.compose(Tc, state.pose)
-        state = state._replace(
-            logodds=new_grid,
-            search_space=build_search_space(
-                new_grid, cfg.matcher, cfg.grid.resolution
-            ),
-            pose=new_pose,
-            last_map_pose=new_pose + 0.0,
-        )
+        with _accept_phase("accept/rebuild_grid"):
+            new_grid = rebuild(
+                jnp.asarray(poses_buf), jnp.asarray(scans_buf),
+                jnp.asarray(mask_buf), n_active=nk,
+            )
+            _accept_sync(new_grid)
+        with _accept_phase("accept/search_space"):
+            new_pose = se2.compose(Tc, state.pose)
+            state = state._replace(
+                logodds=new_grid,
+                search_space=build_search_space(
+                    new_grid, cfg.matcher, cfg.grid.resolution
+                ),
+                pose=new_pose,
+                last_map_pose=new_pose + 0.0,
+            )
+            _accept_sync(state.search_space)
 
     closer = LoopCloser(
         cfg, graph_cfg, loop_matcher, submap_cfg, submap_halfwidth,
