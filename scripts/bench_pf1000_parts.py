@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--map-dtype", default="bfloat16")
     ap.add_argument("--variants", nargs="+",
                     default=["none", "update", "refine", "all"])
+    ap.add_argument("--update-mode", default="auto",
+                    help="PFConfig.update_mode override "
+                         "(auto|shared|per_particle|quantized_per_particle)")
     args = ap.parse_args()
 
     base = FrontendConfig(
@@ -105,7 +108,7 @@ def main():
     )
     pf = PFConfig(
         n_particles=args.particles, map_dtype=args.map_dtype,
-        refine_chunk=args.refine_chunk,
+        refine_chunk=args.refine_chunk, update_mode=args.update_mode,
     )
     world = SynthWorld.box_rooms(20.0)
     wp = np.array(
@@ -127,6 +130,22 @@ def main():
         ),
         "all": base,
     }
+    # event counts over the timed window (scans [s0, s0+done)) so the
+    # per-SCAN attribution can be read per EVENT
+    from slam2d_tpu.pf.fastslam import host_gate_flags
+
+    K = base.chunk
+    s0 = max(8 * K, 256)
+    done = 8 * K
+    for name in args.variants:
+        flags = host_gate_flags(log["odom"], cfgs[name], log["odom"][0])
+        w = flags[s0 : s0 + done]
+        print(json.dumps({
+            "variant": name, "timed_scans": done,
+            "n_refine_events": int(w[:, 0].sum()),
+            "n_update_events": int(w[:, 1].sum()),
+        }), flush=True)
+
     results = {}
     for name in args.variants:
         results[name] = bench_variant(name, cfgs[name], pf, log)

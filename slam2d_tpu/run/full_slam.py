@@ -57,7 +57,15 @@ def _accept_phase(name: str):
 
 def _accept_sync(x):
     if ACCEPT_TIMER is not None:
-        jax.block_until_ready(x)
+        # a SCALAR fetch, not block_until_ready: the remote tunnel's
+        # block_until_ready does not drain the dispatch queue (CLAUDE.md
+        # hard-sync rule) — the round-3 accept profile mis-attributed
+        # ~75 ms of queued rebuild work to the search-space phase until
+        # this fetched. Each phase still carries ~one tunnel RTT of
+        # inflation; read deltas, not absolutes.
+        leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "ravel")]
+        if leaves:
+            jax.device_get(leaves[0].ravel()[0])
 from slam2d_tpu.run.frontend_tiled import (
     _np_between,
     _np_between_batch,
@@ -69,14 +77,36 @@ from slam2d_tpu.run.frontend_tiled import (
 
 @functools.cache
 def _make_rebuild_chunk(cfg: FrontendConfig, gcfg):
+    from slam2d_tpu.grid.window import (
+        extract_window,
+        update_window_cells,
+        write_window,
+    )
+    from slam2d_tpu.grid.occupancy import world_to_cell
+
+    # each keyframe's scan only touches cells within max_range of its
+    # pose — integrating into a static window instead of the full grid
+    # cut the accept-path rebuild from 76 to ~20 ms/accept at 1024^2
+    # (scripts/bench_accept_parts.py; update cost scales with the target
+    # array, the same rule as pf/fastslam._windowed_update)
+    uwin = update_window_cells(gcfg, cfg.sensor)
+    windowed = uwin < min(gcfg.height, gcfg.width)
+
     @jax.jit
     def rebuild_chunk(grid, poses, scans, mask):
         def body(g, inp):
             p, r, m = inp
-            return (
-                integrate_scan(g, p, r, gcfg, cfg.sensor, enable=m),
-                None,
+            if not windowed:
+                return (
+                    integrate_scan(g, p, r, gcfg, cfg.sensor, enable=m),
+                    None,
+                )
+            center = world_to_cell(p[:2], gcfg)
+            gw, orc = extract_window(g, center, uwin)
+            gw = integrate_scan(
+                gw, p, r, gcfg, cfg.sensor, enable=m, origin_rc=orc
             )
+            return write_window(g, gw, orc), None
 
         grid, _ = jax.lax.scan(
             body, grid, (poses, scans, mask.astype(jnp.float32))
