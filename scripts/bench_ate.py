@@ -2,8 +2,9 @@
 backend — used to validate that a kernel/dispatch change doesn't shift
 accuracy (CPU tests can't see TPU-only dispatch branches).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_ate.py [impl]
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_ate.py [impl] [seed] [fine_theta_bins]
   impl: optional GridConfig.update_impl override (auto|sparse_mxu|pallas|...)
+  fine_theta_bins: optional MatcherConfig.fine_theta_bins override (-1 = all)
 """
 
 from __future__ import annotations
@@ -29,13 +30,15 @@ from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    ftb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
             height=1024, width=1024, resolution=0.05, ray_samples=256,
             center_x=10.0, center_y=10.0, update_impl=impl,
         ),
-        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
+        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13,
+                              fine_theta_bins=ftb),
         chunk=64,
         match_min_motion=0.25,
     )
@@ -75,7 +78,7 @@ def main():
     print(
         json.dumps(
             {
-                "impl": impl, "seed": seed,
+                "impl": impl, "seed": seed, "fine_theta_bins": ftb,
                 "backend": jax.default_backend(),
                 "scans_per_sec": round(done / dt, 1),
                 "ate_slam_m": round(float(ate_rmse(traj, gt, align=False)), 4),

@@ -100,6 +100,9 @@ def main():
         "stage": "_update_all bare",
         "ms_per_dispatch": round((time.perf_counter() - t0) / iters * 1e3, 3),
     }), flush=True)
+    # upd donated state.logodds — restore a live buffer before any later
+    # stage passes `state` to a donating program again
+    state = state._replace(logodds=lo)
 
     light = make_light_chunk(cfg, pf, 16)
     seg = jnp.stack([o for o in odom_seq] + [odom_seq[-1]] * 8)

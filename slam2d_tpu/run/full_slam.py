@@ -428,7 +428,7 @@ class LoopCloser:
                  submap_halfwidth, graph, kf_poses, kf_scans, kf_scan_idx,
                  ranges_np, traj_out, optimizer, loop_edge_info,
                  scan_index_offset, apply_correction, loop_records,
-                 n_loops=0, chi2=0.0, cache_anchor=-1):
+                 n_loops=0, chi2=0.0, cache_anchor=-1, defer_accept=True):
         self.cfg = cfg
         self.gcfg = graph_cfg
         self.hw = submap_halfwidth
@@ -456,6 +456,22 @@ class LoopCloser:
         self.cache_anchor = cache_anchor
         self.cache_gs = None
         self.pending: list = []
+        # Deferred accept (VERDICT r2 item 7): an accepted loop DISPATCHES
+        # the GN solve and returns immediately; the poses+chi fetch and all
+        # host bookkeeping (retro-correction, map rebuild, state patch)
+        # happen at the NEXT chunk boundary, so the solve and its tunnel
+        # round trip overlap one chunk of tracking — the same latency
+        # model as the async attempt verdicts. At most ONE accept is in
+        # flight (the cooldown set at dispatch blocks further attempts).
+        self.defer_accept = defer_accept
+        self.pending_accept: dict | None = None
+        # attempts requested while an accept is in flight: issuing them
+        # against the pre-correction poses feeds the loop matcher a stale
+        # prior (measured on the loop-dense parity log: a ~1 m-stale prior
+        # let a 90-degree perceptual alias through the gates, ATE 0.10 ->
+        # 0.52). They queue here and re-issue right after the finalize,
+        # with corrected poses — sync semantics, one chunk later.
+        self.deferred_issues: list = []
         self.attempt_full, self.attempt_cached = make_loop_attempt_fns(
             cfg, loop_matcher, submap_cfg
         )
@@ -477,6 +493,11 @@ class LoopCloser:
         Prefers the cached anchor while the new keyframe stays inside its
         loop radius (and keeps the index gap): consecutive attempts along
         a revisited stretch then skip the submap rebuild entirely."""
+        if self.pending_accept is not None:
+            # an accept is in flight: the prior would be stale (class
+            # docstring) — queue; resolve re-issues after the finalize
+            self.deferred_issues.append((k_new, scan_i))
+            return
         i = None
         if (
             self.cache_anchor >= 0
@@ -543,15 +564,26 @@ class LoopCloser:
         every accept in this drain — to any chunk outputs it dispatched
         BEFORE this resolve but has not yet processed (the software-
         pipelined fetch, see run_full_slam's loop)."""
+        new_last_kf = None
+        T_acc = None
+        deferred_issues: list = []
+        if self.pending_accept is not None:
+            # finalize the accept dispatched at the PREVIOUS boundary:
+            # the GN solve + fetch overlapped the last chunk's tracking
+            est, new_last_kf, T_acc = self._finalize_accept(
+                est, emitted_upto
+            )
+            deferred_issues = self.deferred_issues
+            self.deferred_issues = []
         if not self.pending:
-            return None, est, None, None
+            for k, s in deferred_issues:
+                self.issue(k, s)
+            return None, est, new_last_kf, T_acc
         outs = jax.device_get([a["outs"] for a in self.pending])
         batch = [(a, o) for a, o in zip(list(self.pending), outs)]
         self.pending.clear()
         accepted_k = None
         new_cooldown = None
-        new_last_kf = None
-        T_acc = None
         reissue = []
         for a, (matched_rel, score, margin) in batch:
             if accepted_k is not None:
@@ -574,14 +606,22 @@ class LoopCloser:
             ):
                 continue
             attempt[6] = 1.0
-            est, new_last_kf, Tc = self._accept(
-                a["i"], a["k_new"],
-                np.asarray(matched_rel, np.float32), float(score),
-                est, emitted_upto,
-            )
-            T_acc = Tc if T_acc is None else np.asarray(
-                _np_compose(Tc, T_acc), np.float32
-            )
+            if self.defer_accept:
+                # dispatch only; bookkeeping lands at the next resolve
+                self._accept_dispatch(
+                    a["i"], a["k_new"],
+                    np.asarray(matched_rel, np.float32), float(score),
+                )
+            else:
+                est, nl_sync, Tc = self._accept(
+                    a["i"], a["k_new"],
+                    np.asarray(matched_rel, np.float32), float(score),
+                    est, emitted_upto,
+                )
+                new_last_kf = nl_sync
+                T_acc = Tc if T_acc is None else np.asarray(
+                    _np_compose(Tc, T_acc), np.float32
+                )
             accepted_k = a["k_new"]
             # sync-equivalent cooldown: keyframes admitted since the
             # accepted one already consumed part of it
@@ -592,38 +632,92 @@ class LoopCloser:
             )
         for a in reissue:
             self.issue(a["k_new"], a["scan_i"])
+        for k, s in deferred_issues:
+            if accepted_k is None or k - accepted_k > self.gcfg.loop_cooldown:
+                self.issue(k, s)
         return new_cooldown, est, new_last_kf, T_acc
 
-    def _accept(self, i, k_new, z, score, est, emitted_upto):
+    def _dispatch_optimize(self, i, k_new, z, score):
+        """Add the loop edge, transfer the graph, and ENQUEUE the GN solve.
+        Returns device handles (poses[:n_now], chi) — not fetched."""
         gcfg = self.gcfg
         self.graph.add_edge(i, k_new, z, np.eye(3) * self.loop_edge_info)
         self.loop_records.append((i, k_new, score, z[0], z[1], z[2]))
         self.n_loops += 1
-
-        # optimize + apply corrections (ONE host->device graph transfer)
         with _accept_phase("accept/graph_to_device"):
             dev_graph = self.graph.to_device()
             _accept_sync(dev_graph)
+        if self.optimizer == "schur":
+            from slam2d_tpu.graph.schur import optimize_schur
+
+            dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
+        elif self.optimizer == "schur_sharded":
+            from slam2d_tpu.graph.schur import optimize_schur_sharded
+            from slam2d_tpu.parallel.mesh import make_particle_mesh
+
+            mesh = make_particle_mesh()
+            dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
+        else:
+            dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
+        return dev_graph.poses[: len(self.kf_poses)], chi
+
+    def _accept_dispatch(self, i, k_new, z, score):
+        """Deferred-accept first half: enqueue the solve, remember enough
+        to finish the bookkeeping at the next chunk boundary."""
+        assert self.pending_accept is None
+        dev = self._dispatch_optimize(i, k_new, z, score)
+        self.pending_accept = {
+            "n0": len(self.kf_poses),   # keyframes covered by the solve
+            "dev": dev,
+        }
+
+    def _finalize_accept(self, est, emitted_upto):
+        """Deferred-accept second half (one chunk after dispatch): fetch
+        the corrected poses, transport keyframes admitted during the
+        overlap rigidly with the last solved keyframe, and run the usual
+        correction tail. Returns (est, last_kf_pose, Tc)."""
+        pa = self.pending_accept
+        self.pending_accept = None
         with _accept_phase("accept/optimize+fetch"):
-            if self.optimizer == "schur":
-                from slam2d_tpu.graph.schur import optimize_schur
+            corrected0, chi_h = jax.device_get(pa["dev"])
+        self.chi2 = float(chi_h)
+        n0 = pa["n0"]
+        nk = len(self.kf_poses)
+        old_kf = np.stack(self.kf_poses)   # pre-correction for ALL k
+        # keyframes admitted while the solve was in flight move rigidly
+        # with the last SOLVED keyframe (the same left transform the
+        # frontend-pose patch uses)
+        Tc = np.asarray(
+            _np_compose(corrected0[n0 - 1], _np_inverse(old_kf[n0 - 1])),
+            np.float32,
+        )
+        if nk > n0:
+            corrected = np.concatenate(
+                [corrected0[:n0], _np_compose_batch(Tc, old_kf[n0:])]
+            ).astype(np.float32)
+        else:
+            corrected = np.asarray(corrected0[:n0], np.float32)
+        return self._apply_corrected(
+            corrected, old_kf, est, emitted_upto
+        )
 
-                dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
-            elif self.optimizer == "schur_sharded":
-                from slam2d_tpu.graph.schur import optimize_schur_sharded
-                from slam2d_tpu.parallel.mesh import make_particle_mesh
-
-                mesh = make_particle_mesh()
-                dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
-            else:
-                dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
+    def _accept(self, i, k_new, z, score, est, emitted_upto):
+        # synchronous form (defer_accept=False): dispatch + fetch + tail
+        dev = self._dispatch_optimize(i, k_new, z, score)
+        with _accept_phase("accept/optimize+fetch"):
             # ONE blocking fetch for poses + chi (separate np.asarray/float
             # calls each cost a full tunnel RTT)
-            corrected, chi_h = jax.device_get(
-                (dev_graph.poses[: len(self.kf_poses)], chi)
-            )
+            corrected, chi_h = jax.device_get(dev)
         self.chi2 = float(chi_h)
         old_kf = np.stack(self.kf_poses)
+        return self._apply_corrected(
+            np.asarray(corrected, np.float32), old_kf, est, emitted_upto
+        )
+
+    def _apply_corrected(self, corrected, old_kf, est, emitted_upto):
+        """Shared correction tail: graph/keyframe pose update, submap-cache
+        invalidation, trajectory retro-correction, frontend transport, and
+        the driver's map rebuild. Returns (est, last_kf_pose, Tc)."""
         self.graph.set_poses(corrected)
         for k in range(len(self.kf_poses)):
             self.kf_poses[k] = corrected[k]
@@ -673,6 +767,7 @@ def run_full_slam(
     scan_index_offset: int = 0,
     incremental_rebuild: bool = True,
     frame_cb=None,
+    defer_accept: bool = True,
 ):
     """Run config-5 SLAM over a host-side log. Returns FullSLAMResult.
 
@@ -799,7 +894,7 @@ def run_full_slam(
         graph, kf_poses, kf_scans, kf_scan_idx, ranges_np, traj_out,
         optimizer, loop_edge_info, scan_index_offset, apply_correction,
         loop_records, n_loops=n_loops, chi2=chi2,
-        cache_anchor=init_cache_anchor,
+        cache_anchor=init_cache_anchor, defer_accept=defer_accept,
     )
 
     # ---- main host loop over chunks (software-pipelined fetch) ------------
@@ -892,7 +987,9 @@ def run_full_slam(
         pend = cand
 
     process_pending()
-    while closer.pending:   # drain fully: an accept can re-issue attempts
+    # drain fully: an accept can re-issue attempts, and a deferred accept
+    # still needs its finalize pass
+    while closer.pending or closer.pending_accept is not None:
         cd, est, nl, _ = closer.resolve(est, emitted_upto)
         if cd is not None:
             cooldown = cd

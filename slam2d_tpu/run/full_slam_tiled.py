@@ -222,6 +222,7 @@ def run_full_slam_tiled(
     resume: dict | None = None,
     scan_index_offset: int = 0,
     incremental_rebuild: bool = True,
+    defer_accept: bool = True,
 ):
     """optimizer: "dense" (one Cholesky over all keyframes), "schur"
     (keyframe-block eliminated — the form that scales/distributes), or
@@ -339,7 +340,7 @@ def run_full_slam_tiled(
         graph, kf_poses, kf_scans, kf_scan_idx, ranges_np, traj_out,
         optimizer, loop_edge_info, scan_index_offset, apply_correction,
         loop_records, n_loops=n_loops, chi2=chi2,
-        cache_anchor=init_cache_anchor,
+        cache_anchor=init_cache_anchor, defer_accept=defer_accept,
     )
 
     # ---- main host loop over chunks (software-pipelined fetch) ------------
@@ -432,7 +433,9 @@ def run_full_slam_tiled(
         pend = cand
 
     process_pending()
-    while closer.pending:   # drain fully: an accept can re-issue attempts
+    while closer.pending or closer.pending_accept is not None:
+        # drain fully: an accept can re-issue attempts, and a deferred
+        # accept still needs its finalize pass
         cd, est, nl, _ = closer.resolve(est, emitted_upto)
         if cd is not None:
             cooldown = cd

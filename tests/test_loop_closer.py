@@ -29,11 +29,14 @@ def make_closer(n_kf=20):
         matcher=MatcherConfig(),
     )
     kf_poses = [np.array([0.1 * k, 0.0, 0.0], np.float32) for k in range(n_kf)]
+    # defer_accept=False: these tests pin the SYNC batch semantics the
+    # deferred path shares (gates, first-accept-wins, drop/reissue);
+    # the deferral itself is covered by test_deferred_accept_queues_issues
     closer = LoopCloser(
         cfg, GCFG, default_loop_matcher(GCFG), default_submap_grid(cfg),
         3, None, kf_poses, [None] * n_kf, list(range(n_kf)),
         np.zeros((n_kf, 8), np.float32), np.zeros((100, 3), np.float32),
-        "dense", 200.0, 0, lambda est: None, [],
+        "dense", 200.0, 0, lambda est: None, [], defer_accept=False,
     )
     accepts = []
     reissues = []
@@ -110,3 +113,40 @@ def test_empty_pending_noop():
     cd, est, nl, _T = closer.resolve(np.ones(3, np.float32), 50)
     assert cd is None and nl is None
     np.testing.assert_array_equal(est, np.ones(3, np.float32))
+
+
+def test_deferred_accept_queues_issues():
+    """defer_accept=True: an accept only DISPATCHES at its resolve; issue()
+    requests made while it is in flight queue and re-issue after the
+    finalize (stale priors fed the loop matcher perceptual aliases —
+    round-3 finding, ATE 0.10 -> 0.52 on the parity log before this)."""
+    closer, _, _ = make_closer()
+    closer.defer_accept = True
+    dispatched = []
+    finalized = []
+    issued = []
+    closer._accept_dispatch = lambda i, k, z, sc: (
+        dispatched.append((i, k)),
+        setattr(closer, "pending_accept", {"n0": len(closer.kf_poses)}),
+    )
+    closer._finalize_accept = lambda est, upto: (
+        finalized.append(True),
+        setattr(closer, "pending_accept", None),
+    ) and None or (est, closer.kf_poses[-1].copy(), np.zeros(3, np.float32))
+    closer.pending = [entry(12, score=0.9)]
+    cd, est, nl, T = closer.resolve(np.zeros(3, np.float32), 50)
+    assert dispatched == [(0, 12)] and not finalized
+    assert nl is None and T is None            # bookkeeping not landed yet
+    assert cd is not None                      # cooldown set at dispatch
+
+    # issue() while the accept is in flight must queue, not dispatch
+    real_issue = type(closer).issue
+    real_issue(closer, 19, 19)
+    assert closer.deferred_issues == [(19, 19)]
+
+    # next resolve finalizes, then re-issues the queued attempt
+    closer.issue = lambda k, s: issued.append((k, s))
+    cd, est, nl, T = closer.resolve(np.zeros(3, np.float32), 60)
+    assert finalized and closer.pending_accept is None
+    assert issued == [(19, 19)]
+    assert nl is not None and T is not None
