@@ -47,6 +47,9 @@ def main():
                     help="refinement motion gate, m (fine-res runs need "
                          "~0.25 — the frontend's documented tuning)")
     ap.add_argument("--update-subcell", type=int, default=1)
+    ap.add_argument("--update-bilinear", action="store_true",
+                    help="bilinear sub-cell image placement in the shared "
+                         "update (PFConfig.update_bilinear)")
     ap.add_argument("--update-qstep-cells", type=float, default=0.5,
                     help="shared-update rotation quantization target in "
                          "cells at max range (PFConfig.update_qstep_cells; "
@@ -87,6 +90,7 @@ def main():
         refine_chunk=args.refine_chunk, update_mode=args.update_mode,
         update_theta_slots=args.update_theta_slots,
         update_subcell=args.update_subcell,
+        update_bilinear=args.update_bilinear,
         update_qstep_cells=args.update_qstep_cells,
         **noise,
     )

@@ -199,6 +199,13 @@ class PFConfig:
     # cost (measured trade at P=1000 in docs/COMPONENTS.md). 1 = plain
     # cell-center anchoring.
     update_subcell: int = 1
+    # Bilinear sub-cell image placement in the shared update: the slot
+    # image lands at anchor + fractional offset via a 2x2-tap blend (the
+    # increment's centroid sits exactly at the particle position), which
+    # removes the TRANSLATION quantization to first order at no extra HBM
+    # traffic — unlike update_subcell, which multiplies the image-build
+    # cost by subcell^2. Ignored when update_subcell > 1.
+    update_bilinear: bool = False
     # Target ROTATION quantization of the shared update, as max endpoint
     # displacement in CELLS at the sensor's max range: the theta-slot
     # step is 2 * update_qstep_cells * res / max_range (so a particle's

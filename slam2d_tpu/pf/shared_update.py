@@ -199,6 +199,24 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     )
 
     Hg, Wg = logodds.shape[-2:]
+    # Bilinear sub-cell placement (update_bilinear): land each particle's
+    # image at anchor + frac (a 2x2-tap blend) instead of snapping to the
+    # anchor cell — removes the shared update's TRANSLATION quantization
+    # exactly to first order at no extra HBM traffic (the round-3
+    # quantized_per_particle A/B pinned the +0.10-ATE gap on the
+    # quantization semantics). Redundant with update_subcell>1.
+    bilinear = bool(getattr(pf, "update_bilinear", False)) and Q == 1
+    if bilinear:
+        centers_b = jax.vmap(lambda a: cell_center_world(a, gcfg))(anchors)
+        frac_rc = jnp.stack(
+            [
+                (poses[:, 1] - centers_b[:, 1]) / res,   # row tracks +y
+                (poses[:, 0] - centers_b[:, 0]) / res,   # col tracks +x
+            ],
+            axis=1,
+        )
+    else:
+        frac_rc = None
     if shared_apply_supported(
         Hg, Wg, win,
         n_images=G,
@@ -210,6 +228,7 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         return shared_apply_update(
             logodds, anchors, slot, images, win, float(gcfg.l_clamp),
             interpret=jax.default_backend() != "tpu",
+            frac_rc=frac_rc,
         )
 
     # XLA fallback (small/odd map shapes): slot select as a one-hot
@@ -221,6 +240,19 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         onehot, images.reshape(G, win * win),
         preferred_element_type=jnp.float32,
     ).reshape(P, win, win)                            # [P, win, win]
+    if bilinear:
+        # same 2x2-tap sub-cell placement as the Pallas path; the window
+        # has >= 8 cells of slack past max_range, so the +-1-cell shift
+        # never clips real content at interior anchors
+        def blend(img, fr):
+            b = jnp.floor(fr).astype(jnp.int32)
+            s = fr - b.astype(jnp.float32)
+            img = jnp.roll(img, (b[0], b[1]), axis=(0, 1))
+            img = img * (1.0 - s[0]) + jnp.roll(img, 1, axis=0) * s[0]
+            img = img * (1.0 - s[1]) + jnp.roll(img, 1, axis=1) * s[1]
+            return img
+
+        imgs_p = jax.vmap(blend)(imgs_p, frac_rc)
 
     def apply(g, anchor, img):
         gw, (r0, c0) = extract_window(g, anchor, win)
