@@ -206,6 +206,14 @@ class PFConfig:
     # traffic — unlike update_subcell, which multiplies the image-build
     # cost by subcell^2. Ignored when update_subcell > 1.
     update_bilinear: bool = False
+    # Host-gated dispatch: fuse up to this many dead-reckoning scans into
+    # the FRONT of each heavy dispatch (make_heavy_step_fused) — every
+    # dispatch pays a ~2.4 ms tunnel enqueue floor regardless of device
+    # work, and at the production cadence the separate light segments
+    # were one extra floor per heavy event. 0 disables (the sharded
+    # driver's custom factories always run unfused). Outputs are
+    # bit-identical to the unfused host-gated loop.
+    fuse_light_prefix: int = 8
     # Target ROTATION quantization of the shared update, as max endpoint
     # displacement in CELLS at the sensor's max range: the theta-slot
     # step is 2 * update_qstep_cells * res / max_range (so a particle's

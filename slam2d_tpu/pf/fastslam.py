@@ -375,6 +375,75 @@ def make_heavy_step(cfg: FrontendConfig, pf: PFConfig, refine: bool,
 
 
 @functools.cache
+def make_heavy_step_fused(cfg: FrontendConfig, pf: PFConfig, refine: bool,
+                          update: bool, boot: bool, L: int):
+    """Heavy step with up to L dead-reckoning PRE-scans fused in front.
+
+    The host-gated driver's stage cadence at P=1000 is ~one heavy event
+    per 3 scans with 1-5 light scans between; dispatching the lights
+    separately costs one ~2.4 ms tunnel-enqueue floor per segment on top
+    of the heavy dispatch's (scripts/bench_heavy_step.py: a trivial
+    16-scan light chunk and the 2.2 ms shared-update program both sit at
+    the same floor). Fusing the prefix halves the dispatch count.
+
+    Contract: odom_seg is [L+1, 3] — slots [L - n_pre, L) hold the light
+    scans (in order), slots before them repeat the carried prev_odom
+    (identical consecutive records = no-op motion), slot L is the heavy
+    scan. The RNG stream replicates the unfused driver exactly: one
+    masked 3-way split per REAL light slot, then the heavy step's split —
+    fused and unfused host-gated runs are bit-identical.
+
+    Returns (state, (bp [L+1, 3] per-slot best pose, n_eff_pre — the
+    entry-weights N_eff the unfused light chunks would have reported,
+    n_eff, score))."""
+    P = pf.n_particles
+    step = make_heavy_step(cfg, pf, refine, update, boot)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state: PFState, odom_seg, ranges, n_pre):
+        best = jnp.argmax(state.log_w)
+        n_eff0 = effective_sample_size(state.log_w)
+
+        def body(c, inp):
+            i, o = inp
+            poses, rng, prev, dist, su, sm = c
+            real = i >= L - n_pre
+            rng2, _, _ = jax.random.split(rng, 3)
+            rng = jnp.where(real, rng2, rng)
+            delta = se2.between(prev, o)
+            step_len = jnp.hypot(delta[0], delta[1])
+            rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
+                cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
+            )
+            # padded slots must be EXACT no-ops: compose wraps theta, and
+            # a wrap of an unwrapped carry perturbs it at f32 ulp — enough
+            # to flip boundary cells in later map updates
+            poses = jnp.where(real, se2.compose(poses, delta[None, :]), poses)
+            step_len = jnp.where(real, step_len, 0.0)
+            rot_equiv = jnp.where(real, rot_equiv, 0.0)
+            c2 = (poses, rng, o, dist + step_len, su + step_len,
+                  sm + step_len + rot_equiv)
+            return c2, poses[best]
+
+        (poses, rng, prev, dist, su, sm), bp_pre = jax.lax.scan(
+            body,
+            (state.poses, state.rng, state.prev_odom, state.dist,
+             state.since_update, state.since_match),
+            (jnp.arange(L, dtype=jnp.int32), odom_seg[:L]),
+        )
+        state = state._replace(
+            poses=poses, rng=rng, prev_odom=prev, dist=dist,
+            since_update=su, since_match=sm,
+        )
+        state, (bp_h, n_eff, sc) = step(state, odom_seg[L], ranges)
+        return state, (
+            jnp.concatenate([bp_pre, bp_h[None]]), n_eff0, n_eff, sc
+        )
+
+    return fused
+
+
+@functools.cache
 def make_light_chunk(cfg: FrontendConfig, pf: PFConfig, seg_len: int):
     """Dead-reckoning run over up to seg_len consecutive NO-STAGE scans:
     carries ONLY the small state (the map stack is never an argument, so

@@ -33,6 +33,7 @@ from slam2d_tpu.pf.fastslam import (
     fastslam_step,
     host_gate_flags,
     make_heavy_step,
+    make_heavy_step_fused,
     make_light_chunk,
 )
 
@@ -63,7 +64,21 @@ def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb,
     heavy_factory(refine, update, boot) / light_factory(seg_len) default
     to the single-device step builders; run_sharded_fastslam passes the
     shard_map'd equivalents (the gates are odometry-derived and identical
-    on every shard, so the same host loop drives both)."""
+    on every shard, so the same host loop drives both).
+
+    Single-device runs additionally FUSE up to pf.fuse_light_prefix
+    dead-reckoning scans into the front of each heavy dispatch
+    (make_heavy_step_fused): every dispatch costs a ~2.4 ms tunnel
+    enqueue floor regardless of its device work, and at the production
+    cadence (heavy every ~3 scans) the separate light segments were one
+    extra floor per heavy event. Bit-identical outputs (same RNG op
+    sequence); custom factories (the sharded driver) keep the unfused
+    loop."""
+    fuse_L = (
+        int(getattr(pf, "fuse_light_prefix", 0))
+        if heavy_factory is None and light_factory is None
+        else 0
+    )
     if heavy_factory is None:
         heavy_factory = lambda r, u, b: make_heavy_step(cfg, pf, r, u, b)
     if light_factory is None:
@@ -90,10 +105,86 @@ def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb,
             frame_cb(best_map, np.concatenate(frame_buf))
             frame_buf.clear()
 
+    def dispatch_light(t, n):
+        nonlocal state
+        seg = odom[t : t + n]
+        if n < LIGHT_SEG:
+            seg = np.concatenate(
+                [seg, np.repeat(seg[-1:], LIGHT_SEG - n, axis=0)]
+            )
+        poses, rng, prev, dist, su, sm, bp, ne = light_fn(
+            state.poses, state.log_w, state.rng, state.prev_odom,
+            state.dist, state.since_update, state.since_match,
+            jnp.asarray(seg), jnp.int32(n),
+        )
+        state = state._replace(
+            poses=poses, rng=rng, prev_odom=prev, dist=dist,
+            since_update=su, since_match=sm,
+        )
+        bps.append(bp[:n])
+        nes.append(jnp.full((n,), 1.0, jnp.float32) * ne)
+        scs.append(jnp.full((n,), -1.0, jnp.float32))
+        emit_frame_maybe(bps[-1])
+
+    def dispatch_fused(t, n):
+        # n light scans at [t, t+n) fused ahead of the heavy scan at t+n
+        nonlocal state, prev_host
+        h = t + n
+        do_refine, do_update, in_boot = flags[h]
+        seg = np.empty((fuse_L + 1, 3), np.float32)
+        seg[: fuse_L - n] = prev_host
+        seg[fuse_L - n : fuse_L] = odom[t:h]
+        seg[fuse_L] = odom[h]
+        fused = make_heavy_step_fused(
+            cfg, pf, bool(do_refine), bool(do_update), bool(in_boot),
+            fuse_L,
+        )
+        state, (bp, ne0, ne, sc) = fused(
+            state, jnp.asarray(seg), jnp.asarray(ranges[h]), jnp.int32(n)
+        )
+        bps.append(bp[fuse_L - n :])
+        nes.append(jnp.concatenate(
+            [jnp.full((n,), 1.0, jnp.float32) * ne0, ne[None]]
+        ))
+        scs.append(jnp.concatenate(
+            [jnp.full((n,), -1.0, jnp.float32), sc[None]]
+        ))
+        emit_frame_maybe(bps[-1])
+        prev_host = odom[h]
+
+    prev_host = np.asarray(prev0, np.float32)
     t = 0
     while t < T:
         do_refine, do_update, in_boot = flags[t]
-        if do_refine or do_update or in_boot:
+        heavy_here = do_refine or do_update or in_boot
+        if fuse_L > 0 and not heavy_here:
+            # light run starting at t: fuse its tail (up to fuse_L scans)
+            # into the next heavy dispatch; overflow and trailing runs go
+            # out as standalone light segments
+            n = 1
+            while t + n < T and not flags[t + n].any():
+                n += 1
+            if t + n >= T:
+                while n > 0:
+                    m = min(LIGHT_SEG, n)
+                    dispatch_light(t, m)
+                    t += m
+                    n -= m
+                continue
+            while n > fuse_L:
+                m = min(LIGHT_SEG, n - fuse_L)
+                dispatch_light(t, m)
+                prev_host = odom[t + m - 1]
+                t += m
+                n -= m
+            dispatch_fused(t, n)
+            t = t + n + 1
+        elif heavy_here and fuse_L > 0:
+            # 0-light heavy rides the SAME fused program (n=0): only one
+            # program per stage combo ever compiles on the fused path
+            dispatch_fused(t, 0)
+            t += 1
+        elif heavy_here:
             step = heavy_factory(
                 bool(do_refine), bool(do_update), bool(in_boot)
             )
@@ -104,6 +195,7 @@ def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb,
             nes.append(ne[None])
             scs.append(sc[None])
             emit_frame_maybe(bps[-1])
+            prev_host = odom[t]
             t += 1
         else:
             n = 1
@@ -111,24 +203,8 @@ def _run_fastslam_host_gated(odom, ranges, cfg, pf, state, frame_cb,
                 n < LIGHT_SEG and t + n < T and not flags[t + n].any()
             ):
                 n += 1
-            seg = odom[t : t + n]
-            if n < LIGHT_SEG:
-                seg = np.concatenate(
-                    [seg, np.repeat(seg[-1:], LIGHT_SEG - n, axis=0)]
-                )
-            poses, rng, prev, dist, su, sm, bp, ne = light_fn(
-                state.poses, state.log_w, state.rng, state.prev_odom,
-                state.dist, state.since_update, state.since_match,
-                jnp.asarray(seg), jnp.int32(n),
-            )
-            state = state._replace(
-                poses=poses, rng=rng, prev_odom=prev, dist=dist,
-                since_update=su, since_match=sm,
-            )
-            bps.append(bp[:n])
-            nes.append(jnp.full((n,), 1.0, jnp.float32) * ne)
-            scs.append(jnp.full((n,), -1.0, jnp.float32))
-            emit_frame_maybe(bps[-1])
+            dispatch_light(t, n)
+            prev_host = odom[t + n - 1]
             t += n
 
     if frame_cb is not None and frame_buf:   # flush the tail frame
