@@ -276,13 +276,19 @@ def _update_all(logodds, poses, ranges, cfg, pf):
         from slam2d_tpu.pf.shared_update import shared_update
 
         return shared_update(logodds, poses, ranges, cfg, pf)
-    if mode == "quantized_per_particle":
+    if mode in ("quantized_per_particle", "quantized_theta_only",
+                "quantized_xy_only"):
         # diagnostic A/B for the shared-update ATE gap: the EXACT
         # per-particle kernel at shared_update's quantized poses
-        # (see shared_update.quantize_update_poses)
+        # (see shared_update.quantize_update_poses); the _only variants
+        # quantize one axis to attribute the error
         from slam2d_tpu.pf.shared_update import quantize_update_poses
 
-        poses = quantize_update_poses(poses, cfg, pf)
+        poses = quantize_update_poses(
+            poses, cfg, pf,
+            q_xy=mode != "quantized_theta_only",
+            q_theta=mode != "quantized_xy_only",
+        )
     batched_upd = jax.vmap(lambda g, p: _windowed_update(g, p, ranges, cfg))
     if pf.refine_chunk and P > pf.refine_chunk:
         nc = P // pf.refine_chunk

@@ -51,7 +51,8 @@ def _circular_mean(theta):
     return jnp.arctan2(jnp.mean(jnp.sin(theta)), jnp.mean(jnp.cos(theta)))
 
 
-def quantize_update_poses(poses, cfg: FrontendConfig, pf: PFConfig):
+def quantize_update_poses(poses, cfg: FrontendConfig, pf: PFConfig,
+                          q_xy: bool = True, q_theta: bool = True):
     """Poses quantized EXACTLY as shared_update anchors its marks: xy to
     the anchor cell center (or the update_subcell sub-cell center), theta
     to the global slot grid. Running the exact per-particle update at
@@ -93,6 +94,14 @@ def quantize_update_poses(poses, cfg: FrontendConfig, pf: PFConfig):
         xy_q = centers + jnp.stack([offs[qx], offs[qy]], axis=1) * res
     else:
         xy_q = centers
+    # axis-separated diagnostics (q_xy/q_theta): round-3 falsified the
+    # translation axis (bilinear placement left the 4-seed mean ATE
+    # unchanged), so the axes are probed independently via the
+    # "quantized_theta_only"/"quantized_xy_only" update modes
+    if not q_xy:
+        xy_q = poses[:, :2]
+    if not q_theta:
+        th_q = poses[:, 2]
     return jnp.concatenate([xy_q, th_q[:, None]], axis=1)
 
 
