@@ -40,20 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _apply_kernel(
-    ar_ref, ac_ref, slot_ref,           # scalar prefetch [P]
-    qr_ref, qc_ref,                      # scalar prefetch [P] (bilinear
-    #   sub-cell shift in 1/256-cell units, in [-128, 128]; all-zero and
-    #   compiled out when bilinear=False)
-    images_ref,                          # [G, win, win] VMEM
-    maps_ref,                            # [P, Hm, Wm] ANY — ALIAS-ONLY:
-    #   never read/written directly; input_output_aliases={6: 0} makes
-    #   out_ref the same buffer, and ALL loads/stores must go through
-    #   out_ref so the read-modify-write stays coherent.
-    out_ref,                             # [P, Hm, Wm] ANY
-    load_ref, res_ref, lsem, ssem,       # scratch
-    *,
+    *refs,
     win, pad, Hm, Wm, l_clamp, out_dtype, bilinear,
 ):
+    # operand layout (scalar prefetch first):
+    #   snapped:  ar, ac, slot,         images, maps, out, scratch...
+    #   bilinear: ar, ac, slot, qr, qc, images, maps, out, scratch...
+    # qr/qc are the sub-cell shift in 1/256-cell units, in [-128, 128).
+    # The snapped variant keeps the 3-scalar signature so the production
+    # kernel is UNCHANGED by the bilinear addition (an unused scalar-
+    # prefetch operand is an untested Mosaic corner — round-3 rule: never
+    # perturb a validated production kernel for an opt-in variant).
+    # maps_ref is ALIAS-ONLY: never read/written directly;
+    # input_output_aliases makes out_ref the same buffer, and ALL
+    # loads/stores must go through out_ref so the read-modify-write
+    # stays coherent.
+    if bilinear:
+        (ar_ref, ac_ref, slot_ref, qr_ref, qc_ref,
+         images_ref, maps_ref, out_ref,
+         load_ref, res_ref, lsem, ssem) = refs
+    else:
+        (ar_ref, ac_ref, slot_ref,
+         images_ref, maps_ref, out_ref,
+         load_ref, res_ref, lsem, ssem) = refs
     p = pl.program_id(0)
     nP = pl.num_programs(0)
     Rd = win + 2 * pad
@@ -225,8 +234,9 @@ def shared_apply_update(
         win=win, pad=pad, Hm=Hm, Wm=Wm,
         l_clamp=float(l_clamp), out_dtype=maps.dtype, bilinear=bilinear,
     )
+    n_scalars = 5 if bilinear else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,                  # row, col, slot, qr, qc
+        num_scalar_prefetch=n_scalars,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),    # images, resident
@@ -242,18 +252,17 @@ def shared_apply_update(
     )
     ar = anchors_rc[:, 0].astype(jnp.int32) - win // 2
     ac = anchors_rc[:, 1].astype(jnp.int32) - win // 2
+    operands = [ar, ac, slots.astype(jnp.int32)]
     if bilinear:
         q = jnp.round(
             jnp.clip(frac_rc, -0.5, 0.4999) * 256.0
         ).astype(jnp.int32)                           # [P, 2] in [-128, 128)
-        qr, qc = q[:, 0], q[:, 1]
-    else:
-        qr = qc = jnp.zeros((P,), jnp.int32)
+        operands += [q[:, 0], q[:, 1]]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, Hm, Wm), maps.dtype),
-        input_output_aliases={6: 0},   # maps operand (after 5 scalars
-                                       # + images) aliases the output
+        # maps operand (after the scalars + images) aliases the output
+        input_output_aliases={n_scalars + 1: 0},
         interpret=interpret,
-    )(ar, ac, slots.astype(jnp.int32), qr, qc, images, maps)
+    )(*operands, images, maps)
