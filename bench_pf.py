@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--update-bilinear", action="store_true",
                     help="bilinear sub-cell image placement in the shared "
                          "update (PFConfig.update_bilinear)")
+    ap.add_argument("--fuse-light-prefix", type=int, default=None,
+                    help="PFConfig.fuse_light_prefix override (0 = unfused "
+                         "host-gated dispatch; for same-session A/Bs)")
     ap.add_argument("--update-qstep-cells", type=float, default=0.5,
                     help="shared-update rotation quantization target in "
                          "cells at max range (PFConfig.update_qstep_cells; "
@@ -92,6 +95,8 @@ def main():
         update_subcell=args.update_subcell,
         update_bilinear=args.update_bilinear,
         update_qstep_cells=args.update_qstep_cells,
+        **({"fuse_light_prefix": args.fuse_light_prefix}
+           if args.fuse_light_prefix is not None else {}),
         **noise,
     )
 
