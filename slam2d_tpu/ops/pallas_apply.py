@@ -170,18 +170,23 @@ def _apply_kernel(
 
 def shared_apply_supported(
     Hm: int, Wm: int, win: int, n_images: int = 16,
-    image_bytes: int = 4, map_bytes: int = 4,
+    image_bytes: int = 4, map_bytes: int = 4, bilinear: bool = True,
 ) -> bool:
     """Aligned-DMA covering argument + VMEM budget. The budget must count
     the VMEM-RESIDENT image stack (n_images grows with update_subcell^2
     and update_theta_slots, not just win): images + 4 load/result slots
     + ~3 live [Rd, Cd] f32 compute frames, capped at 12 MB — below
     Mosaic's 16 MB scoped-VMEM stack limit with the headroom the blur
-    kernel's measured 512² OOM taught (CLAUDE.md)."""
+    kernel's measured 512² OOM taught (CLAUDE.md).
+
+    bilinear: budget the bilinear variant's +2-lane column frame (which
+    rounds up a further 128 lanes when win is a multiple of 128).
+    Defaults True (conservative); snapped-only callers pass False so a
+    128-aligned window doesn't silently fall back to the XLA path
+    (ADVICE r3)."""
     pad = 8
     Rd = win + 2 * pad
-    # budget with the bilinear variant's (slightly larger) column frame
-    Cd = ((win + 130 + 127) // 128) * 128
+    Cd = ((win + (130 if bilinear else 128) + 127) // 128) * 128
     vmem = (
         n_images * win * win * image_bytes
         + 4 * Rd * Cd * map_bytes
@@ -230,7 +235,7 @@ def shared_apply_update(
     G = images.shape[0]
     pad = 8
     bilinear = frac_rc is not None
-    if not shared_apply_supported(Hm, Wm, win):
+    if not shared_apply_supported(Hm, Wm, win, bilinear=bilinear):
         raise ValueError(f"shared apply unsupported: {Hm}x{Wm}, win {win}")
     Rd = win + 2 * pad
     Cd = ((win + (130 if bilinear else 128) + 127) // 128) * 128

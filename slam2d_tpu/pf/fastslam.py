@@ -466,14 +466,21 @@ def make_light_chunk(cfg: FrontendConfig, pf: PFConfig, seg_len: int):
         def body(c, inp):
             i, o = inp
             poses, rng, prev, dist, su, sm = c
+            real = i < n_valid
             rng2, _, _ = jax.random.split(rng, 3)
-            rng = jnp.where(i < n_valid, rng2, rng)
+            rng = jnp.where(real, rng2, rng)
             delta = se2.between(prev, o)
             step_len = jnp.hypot(delta[0], delta[1])
             rot_equiv = jnp.abs(se2.wrap_angle(delta[2])) * (
                 cfg.match_min_motion / max(cfg.match_min_rot, 1e-6)
             )
-            poses = se2.compose(poses, delta[None, :])
+            # padded slots must be EXACT no-ops (match make_heavy_step_fused):
+            # compose wraps theta, and a wrap of an unwrapped carry perturbs
+            # it at f32 ulp even for an identity delta — enough to diverge
+            # from the fused path once resampling amplifies it
+            poses = jnp.where(real, se2.compose(poses, delta[None, :]), poses)
+            step_len = jnp.where(real, step_len, 0.0)
+            rot_equiv = jnp.where(real, rot_equiv, 0.0)
             c2 = (poses, rng, o, dist + step_len, su + step_len,
                   sm + step_len + rot_equiv)
             return c2, poses[best]

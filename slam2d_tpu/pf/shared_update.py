@@ -231,6 +231,7 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         n_images=G,
         image_bytes=images.dtype.itemsize,
         map_bytes=logodds.dtype.itemsize,
+        bilinear=bilinear,
     ):
         # one read + one write of each particle's window, images VMEM-
         # resident, in-place on the donated map stack (module docstring)

@@ -632,9 +632,17 @@ class LoopCloser:
             )
         for a in reissue:
             self.issue(a["k_new"], a["scan_i"])
+        # deferred issues re-issue UNFILTERED in both resolve paths (here
+        # and the empty-pending early return above): the driver-side
+        # cooldown — adopted at accept DISPATCH time — is the actual gate,
+        # so anything that reached deferred_issues was already outside the
+        # accepted keyframe's cooldown horizon. (A cooldown filter here
+        # was dead code: deferred_issues is non-empty only after a
+        # finalize, and at a finalize `pending` is always empty — issue()
+        # queues while the accept is in flight — so this branch never ran
+        # with deferred issues; ADVICE r3.)
         for k, s in deferred_issues:
-            if accepted_k is None or k - accepted_k > self.gcfg.loop_cooldown:
-                self.issue(k, s)
+            self.issue(k, s)
         return new_cooldown, est, new_last_kf, T_acc
 
     def _dispatch_optimize(self, i, k_new, z, score):

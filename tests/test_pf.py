@@ -164,3 +164,81 @@ def test_host_gated_matches_ungated():
         np.asarray(s2.logodds, np.float32),
         np.asarray(s1.logodds, np.float32), atol=1e-3,
     )
+
+
+def test_fused_light_prefix_bit_identical():
+    """fuse_light_prefix=N (light scans fused into the heavy dispatch)
+    must be BIT-identical to the unfused host-gated loop: both mask the
+    padded odom slots into exact no-ops (compose wraps theta, and a wrap
+    of an unwrapped carry perturbs it at f32 ulp even for an identity
+    delta — amplified to ~5e-5 by resampling before the mask landed)."""
+    import dataclasses
+
+    cfg = FrontendConfig(
+        sensor=SensorConfig(n_beams=60, max_range=10.0),
+        grid=GridConfig(height=160, width=160, resolution=0.1,
+                        ray_samples=96, center_x=6.0, center_y=6.0),
+        matcher=MatcherConfig(search_xy=0.2, search_theta=0.1, n_theta=7),
+        chunk=8,
+    )
+    pf = PFConfig(n_particles=8, refine_mode="per_particle")
+    world = SynthWorld.box_rooms(12.0)
+    wp = np.array([[3.0, 3.0], [3.0, 7.0], [7.0, 7.0]])
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.2,
+        odom_noise_xy=0.012, odom_noise_theta=0.006, seed=4,
+    )
+
+    pf0 = dataclasses.replace(pf, fuse_light_prefix=0)
+    pf8 = dataclasses.replace(pf, fuse_light_prefix=8)
+    s0, tr0, ne0, sc0 = run_fastslam(log, cfg, pf0, seed=1, host_gated=True)
+    s8, tr8, ne8, sc8 = run_fastslam(log, cfg, pf8, seed=1, host_gated=True)
+
+    np.testing.assert_array_equal(np.asarray(tr8), np.asarray(tr0))
+    np.testing.assert_array_equal(np.asarray(s8.poses), np.asarray(s0.poses))
+    np.testing.assert_array_equal(
+        np.asarray(s8.logodds, np.float32),
+        np.asarray(s0.logodds, np.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(ne8), np.asarray(ne0))
+
+
+def test_light_chunk_padded_slots_are_exact_noops():
+    """make_light_chunk's padded slots (i >= n_valid, repeats of the last
+    odom row) must be BIT-exact no-ops: 4 valid scans through a seg_len=16
+    program == the same 4 scans through a seg_len=4 program. Before the
+    padded-slot mask, se2.compose's theta wrap perturbed the carry by one
+    f32 ulp per padded slot even for an identity delta."""
+    from slam2d_tpu.pf.fastslam import make_light_chunk
+
+    cfg, pf = _pf_cfg()
+    P = pf.n_particles
+    rng = jax.random.PRNGKey(7)
+    poses = jax.random.normal(rng, (P, 3)) * jnp.asarray([1.0, 1.0, 2.0])
+    log_w = jax.random.normal(jax.random.PRNGKey(8), (P,)) * 0.3
+    prev = jnp.asarray([0.3, -0.2, 2.9])  # near pi: wrap-sensitive
+    odom4 = prev[None, :] + jnp.asarray(
+        [[0.02, 0.01, 0.35], [0.05, -0.01, 0.3], [0.07, 0.0, 0.4],
+         [0.1, 0.02, 0.45]], jnp.float32
+    )
+    seg16 = jnp.concatenate([odom4, jnp.repeat(odom4[-1:], 12, axis=0)])
+
+    out4 = make_light_chunk(cfg, pf, 4)(
+        poses, log_w, rng, prev, jnp.float32(1.0), jnp.float32(0.5),
+        jnp.float32(0.5), odom4, jnp.int32(4),
+    )
+    out16 = make_light_chunk(cfg, pf, 16)(
+        poses, log_w, rng, prev, jnp.float32(1.0), jnp.float32(0.5),
+        jnp.float32(0.5), seg16, jnp.int32(4),
+    )
+    # poses, rng, prev, dist, since_u, since_m must all be bit-equal
+    for a, b, name in zip(
+        out4[:6], out16[:6],
+        ["poses", "rng", "prev", "dist", "since_u", "since_m"],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out4[6]), np.asarray(out16[6][:4]), err_msg="best poses"
+    )
