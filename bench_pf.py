@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--fuse-light-prefix", type=int, default=None,
                     help="PFConfig.fuse_light_prefix override (0 = unfused "
                          "host-gated dispatch; for same-session A/Bs)")
+    ap.add_argument("--snapped-endpoints", action="store_true",
+                    help="disable update_exact_endpoints (the round-4 "
+                         "xy-quantization fix) for A/Bs against the "
+                         "round-3 snapped shared update")
     ap.add_argument("--update-qstep-cells", type=float, default=0.5,
                     help="shared-update rotation quantization target in "
                          "cells at max range (PFConfig.update_qstep_cells; "
@@ -95,6 +99,7 @@ def main():
         update_subcell=args.update_subcell,
         update_bilinear=args.update_bilinear,
         update_qstep_cells=args.update_qstep_cells,
+        update_exact_endpoints=not args.snapped_endpoints,
         **({"fuse_light_prefix": args.fuse_light_prefix}
            if args.fuse_light_prefix is not None else {}),
         **noise,

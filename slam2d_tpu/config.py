@@ -206,6 +206,17 @@ class PFConfig:
     # traffic — unlike update_subcell, which multiplies the image-build
     # cost by subcell^2. Ignored when update_subcell > 1.
     update_bilinear: bool = False
+    # Exact-endpoint shared update: the shared slot images carry the
+    # FREE-SPACE carve only (l_occ=0) and each particle's occupancy
+    # marks are added at its EXACT endpoint cells afterwards (~B points,
+    # one-hot-matmul accumulation). Round-4 axis probes pinned the
+    # shared update's +0.09 seed-averaged ATE gap on the TRANSLATION
+    # snap (quantized_xy_only mean 0.250 vs quantized_theta_only 0.183
+    # vs per_particle 0.166, 4 seeds on chip); the matcher locks onto
+    # the occupancy peaks, so those must not snap — the smooth carve
+    # can. Supersedes update_bilinear/update_subcell (which blur or
+    # multiply the image build instead).
+    update_exact_endpoints: bool = True
     # Host-gated dispatch: fuse up to this many dead-reckoning scans into
     # the FRONT of each heavy dispatch (make_heavy_step_fused) — every
     # dispatch pays a ~2.4 ms tunnel enqueue floor regardless of device
@@ -297,6 +308,22 @@ class GraphConfig:
     # iterations comfortably close. 0 = robust from the first iteration.
     robust_gnc_iters: int = 2
     damping: float = 1e-6             # Levenberg damping on H diagonal
+    # Matrix-free optimizer (graph/sparse.py optimize_cg): STATIC
+    # capacity for loop (non-chain) edges deflated into the coarse
+    # space — the coarse system is [3*(max_nodes/stride) + 6*Lmax]^2.
+    # Loop edges past the capacity cost extra CG iterations; size it
+    # >= the driver's accepted-loop bound (full-SLAM's cooldown gate
+    # caps the accept rate at ~n_keyframes / loop_cooldown).
+    sparse_max_loops: int = 64
+    # Chain coarsening stride for the two-level preconditioner: the
+    # coarse anchor chain has max_nodes/stride nodes whose condition
+    # (~ (K/stride)^2) must stay f32-Cholesky-safe; 16 holds to
+    # ~64k keyframes.
+    sparse_coarse_stride: int = 16
+    # Inner PCG iterations per GN step. The two-level preconditioner
+    # clusters the spectrum (chain modes ~1, loop outliers deflated);
+    # measured: 48 converges the 4096-node serpentine to solver noise.
+    sparse_cg_iters: int = 48
 
 
 @dataclasses.dataclass(frozen=True)

@@ -365,6 +365,53 @@ def integrate_scan(
     )
 
 
+def endpoint_update(
+    logodds, pose, ranges, cfg: GridConfig, sensor: SensorConfig,
+    enable=1.0, origin_rc=None, accumulate: str = "auto",
+):
+    """Occupied-ENDPOINT marks only — the sparse raycast_update's endpoint
+    section with the free-space samples stripped (~B points instead of
+    ~B*S). The shared PF update pairs this with l_occ=0 shared images:
+    the dense free-space carve tolerates the anchor-lattice translation
+    snap, but the occupancy peaks the matcher locks onto must land at
+    the particle's EXACT endpoint cells (round-4 axis probes pinned the
+    shared update's +0.09 ATE gap on the xy axis: quantized_xy_only
+    4-seed mean 0.250 vs quantized_theta_only 0.183, per_particle
+    0.166)."""
+    H, W = logodds.shape
+    if origin_rc is not None:
+        roff = origin_rc[0].astype(jnp.int32)
+        coff = origin_rc[1].astype(jnp.int32)
+    else:
+        roff = coff = jnp.int32(0)
+    ox, oy = cfg.origin_x, cfg.origin_y
+    angles = beam_angles(sensor) + pose[2]
+    r = ranges.astype(jnp.float32)
+    valid = (r > sensor.min_range) & jnp.isfinite(r)
+    hit = valid & (r < sensor.max_range)
+    r_clip = jnp.clip(r, 0.0, sensor.max_range)
+    ex = pose[0] + jnp.cos(angles) * r_clip
+    ey = pose[1] + jnp.sin(angles) * r_clip
+    ecol = jnp.floor((ex - ox) / cfg.resolution).astype(jnp.int32) - coff
+    erow = jnp.floor((ey - oy) / cfg.resolution).astype(jnp.int32) - roff
+    e_in = (erow >= 0) & (erow < H) & (ecol >= 0) & (ecol < W)
+    w = jnp.where(hit & e_in, cfg.l_occ, 0.0) * enable
+    erow = jnp.clip(erow, 0, H - 1)
+    ecol = jnp.clip(ecol, 0, W - 1)
+    if accumulate == "auto":
+        import jax as _jax
+
+        accumulate = "mxu" if _jax.default_backend() == "tpu" else "scatter"
+    if accumulate == "mxu":
+        from slam2d_tpu.ops.mxu_update import scatter_add_mxu
+
+        img = scatter_add_mxu(erow, ecol, w, H, W)
+        out = logodds + img.astype(logodds.dtype)
+    else:
+        out = logodds.at[erow, ecol].add(w.astype(logodds.dtype), mode="drop")
+    return jnp.clip(out, -cfg.l_clamp, cfg.l_clamp)
+
+
 def scan_endpoints_local(ranges, sensor: SensorConfig):
     """Beam endpoints in the sensor frame, [B, 2], plus a validity mask [B].
 

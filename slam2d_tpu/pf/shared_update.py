@@ -153,11 +153,29 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     # images must be raw increments: clamp can't bind on a zero window
     # for one scan (|upd| <= a few increments << l_clamp)
     img_cfg = dataclasses.replace(gcfg, height=win, width=win)
+    # Exact-endpoint mode (update_exact_endpoints): the shared images
+    # carry the FREE-SPACE carve only (l_occ=0 — the dense carve
+    # tolerates the anchor snap) and the occupancy peaks are added
+    # afterwards at each particle's EXACT endpoint cells (~B points,
+    # grid/occupancy.endpoint_update). Round-4 axis probes pinned the
+    # shared update's +0.09 seed-averaged ATE gap on the TRANSLATION
+    # quantization (quantized_xy_only 0.250 vs quantized_theta_only
+    # 0.183, per_particle 0.166, 4 seeds, chip); the endpoint marks are
+    # what the correlative matcher locks onto, so they must not snap.
+    exact_ep = bool(getattr(pf, "update_exact_endpoints", False))
+    img_ranges = ranges
+    if exact_ep:
+        img_cfg = dataclasses.replace(img_cfg, l_occ=0.0)
+        # pull the carve one extra cell short of the measured endpoint:
+        # the anchor snap displaces the shared carve by up to ~a cell, so
+        # without the margin it can cross (and erode) the exact endpoint
+        # marks added below
+        img_ranges = jnp.maximum(ranges - res, 0.0)
 
     def one_image(th, off_xy):
         pose_g = jnp.concatenate([off_xy, th[None]])
         return integrate_scan(
-            jnp.zeros((win, win), jnp.float32), pose_g, ranges,
+            jnp.zeros((win, win), jnp.float32), pose_g, img_ranges,
             img_cfg, cfg.sensor, origin_xy=img_origin, auto_ctx="pf",
         )
 
@@ -226,6 +244,11 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         )
     else:
         frac_rc = None
+    def finish(out):
+        if not exact_ep:
+            return out
+        return _exact_endpoint_pass(out, poses, anchors, ranges, cfg, pf)
+
     if shared_apply_supported(
         Hg, Wg, win,
         n_images=G,
@@ -235,11 +258,11 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     ):
         # one read + one write of each particle's window, images VMEM-
         # resident, in-place on the donated map stack (module docstring)
-        return shared_apply_update(
+        return finish(shared_apply_update(
             logodds, anchors, slot, images, win, float(gcfg.l_clamp),
             interpret=jax.default_backend() != "tpu",
             frac_rc=frac_rc,
-        )
+        ))
 
     # XLA fallback (small/odd map shapes): slot select as a one-hot
     # matmul (G is tiny; a big-row gather would serialize on TPU)
@@ -291,5 +314,43 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
                 imgs_p.reshape(nc, pf.refine_chunk, win, win),
             ),
         )
+        return finish(out.reshape(P, Hg, Wg))
+    return finish(jax.vmap(apply)(logodds, anchors, imgs_p))
+
+
+def _exact_endpoint_pass(logodds, poses, anchors, ranges,
+                         cfg: FrontendConfig, pf: PFConfig):
+    """Add each particle's occupancy marks at its EXACT endpoint cells
+    (grid/occupancy.endpoint_update) inside the same anchor-centered
+    update window the shared apply wrote. ~B points/particle — scatter-
+    cheap next to the dense carve; on TPU the accumulation is the
+    one-hot-matmul form (ops/mxu_update.py), honoring the no-XLA-scatter
+    rule."""
+    from slam2d_tpu.grid.occupancy import endpoint_update
+
+    gcfg = cfg.grid
+    P = poses.shape[0]
+    win = update_window_cells(gcfg, cfg.sensor)
+    win = min(win, min(gcfg.height, gcfg.width))
+
+    def one(g, pose, anchor):
+        gw, orc = extract_window(g, anchor, win)
+        gw2 = endpoint_update(
+            gw, pose, ranges, gcfg, cfg.sensor,
+            origin_rc=jnp.stack(orc),
+        )
+        return write_window(g, gw2, orc)
+
+    if pf.refine_chunk and P > pf.refine_chunk:
+        nc = P // pf.refine_chunk
+        Hg, Wg = logodds.shape[-2:]
+        out = jax.lax.map(
+            lambda args: jax.vmap(one)(args[0], args[1], args[2]),
+            (
+                logodds.reshape(nc, pf.refine_chunk, Hg, Wg),
+                poses.reshape(nc, pf.refine_chunk, 3),
+                anchors.reshape(nc, pf.refine_chunk, 2),
+            ),
+        )
         return out.reshape(P, Hg, Wg)
-    return jax.vmap(apply)(logodds, anchors, imgs_p)
+    return jax.vmap(one)(logodds, poses, anchors)

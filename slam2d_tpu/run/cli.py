@@ -34,10 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--schur", action="store_true",
                    help="block-Schur pose-graph optimizer (full mode)")
     p.add_argument("--optimizer", default=None,
-                   choices=["dense", "schur", "schur_sharded"],
+                   choices=["dense", "schur", "schur_sharded", "sparse",
+                            "hier"],
                    help="pose-graph optimizer (full mode): dense Cholesky, "
-                        "block-Schur, or mesh-sharded block-Schur over all "
-                        "visible devices (overrides --schur)")
+                        "block-Schur, mesh-sharded block-Schur over all "
+                        "visible devices, matrix-free two-level PCG "
+                        "(no dense H — large graphs), or hierarchical "
+                        "anchor-graph + PCG polish (largest graphs); "
+                        "overrides --schur")
     p.add_argument("--log", required=True,
                    help="CARMEN .log/.clf, preprocessed .json, or 'synth'")
     p.add_argument("--map", default=None,

@@ -665,6 +665,14 @@ class LoopCloser:
 
             mesh = make_particle_mesh()
             dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
+        elif self.optimizer == "sparse":
+            from slam2d_tpu.graph.sparse import optimize_cg
+
+            dev_graph, chi = optimize_cg(dev_graph, gcfg)
+        elif self.optimizer == "hier":
+            from slam2d_tpu.graph.sparse import optimize_hier
+
+            dev_graph, chi = optimize_hier(dev_graph, gcfg)
         else:
             dev_graph, chi = se2_graph.optimize(dev_graph, gcfg)
         return dev_graph.poses[: len(self.kf_poses)], chi

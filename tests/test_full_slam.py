@@ -87,3 +87,33 @@ def test_full_slam_schur_sharded_optimizer():
     ate_odom = ate_rmse(log["odom"][idx], gt_kf, align=False)
     assert ate_kf < ate_odom
     assert ate_kf < 0.35
+
+
+def test_full_slam_hier_optimizer():
+    """Driver wiring for optimizer="hier" (the hierarchical matrix-free
+    backend, graph/sparse.py): same loopy scenario as the dense test,
+    must close loops and land comparable keyframe accuracy."""
+    cfg = _cfg()
+    gcfg = GraphConfig(
+        max_nodes=128, max_edges=512, keyframe_dist=0.5,
+        loop_min_gap=10, loop_radius=2.5, loop_score_accept=0.35,
+        gn_iters=10, sparse_max_loops=16, sparse_coarse_stride=8,
+    )
+    world = SynthWorld.box_rooms(20.0)
+    wp = np.array(
+        [[3.0, 3.0], [3.0, 8.0], [8.0, 8.0], [12.0, 3.5], [16.0, 3.5],
+         [17.0, 9.0], [12.0, 14.0], [9.0, 17.0], [4.0, 16.0], [3.0, 10.0],
+         [3.0, 3.8]]
+    )
+    log = simulate_log(
+        world, wp, cfg.sensor, step=0.15,
+        odom_noise_xy=0.02, odom_noise_theta=0.008, seed=5,
+    )
+    res = run_full_slam(log, cfg, gcfg, optimizer="hier")
+    assert res.n_loops >= 1
+    idx = res.kf_scan_idx
+    gt_kf = log["gt_poses"][idx]
+    ate_kf = ate_rmse(res.kf_poses, gt_kf, align=False)
+    ate_odom = ate_rmse(log["odom"][idx], gt_kf, align=False)
+    assert ate_kf < ate_odom
+    assert ate_kf < 0.4

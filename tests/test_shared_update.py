@@ -36,7 +36,8 @@ def test_shared_matches_per_particle_on_lattice():
     the shared path's quantization is a no-op, so its marks must match
     the per-particle integrate (up to rare 1-ulp endpoint cell flips
     from the shifted coordinate frame)."""
-    pf = PFConfig(n_particles=8, update_theta_slots=16)
+    pf = PFConfig(n_particles=8, update_theta_slots=16,
+                  update_exact_endpoints=False)
     res = CFG.grid.resolution
     rng = np.random.default_rng(1)
     # cell-center positions, identical heading (= the center slot exactly)
@@ -69,7 +70,8 @@ def test_shared_matches_per_particle_on_lattice():
 def test_shared_quantization_error_bounded():
     """Arbitrary (off-lattice) poses: shared marks displace by at most
     ~1 cell from the per-particle marks — wall cells stay adjacent."""
-    pf = PFConfig(n_particles=6, update_theta_slots=16)
+    pf = PFConfig(n_particles=6, update_theta_slots=16,
+                  update_exact_endpoints=False)
     rng = np.random.default_rng(2)
     poses = jnp.asarray(np.stack([
         rng.uniform(7.0, 9.0, 6), rng.uniform(7.0, 9.0, 6),
@@ -181,7 +183,8 @@ def test_quantized_per_particle_matches_shared_marks():
     shared_update's quantized poses — the VERDICT r2 item-3 diagnostic)
     must mark maps like the shared path: same quantization semantics,
     different mechanics."""
-    pf = PFConfig(n_particles=6, update_theta_slots=16)
+    pf = PFConfig(n_particles=6, update_theta_slots=16,
+                  update_exact_endpoints=False)
     rng = np.random.default_rng(5)
     poses = jnp.asarray(np.stack([
         rng.uniform(7.0, 9.0, 6), rng.uniform(7.0, 9.0, 6),
@@ -271,10 +274,69 @@ def test_subcell_anchors_reduce_quantization():
     errs = {}
     for q in (1, 2):
         pf = PFConfig(n_particles=P, update_mode="shared",
-                      update_theta_slots=8, update_subcell=q)
+                      update_theta_slots=8, update_subcell=q,
+                      update_exact_endpoints=False)
         # shared_update donates its logodds argument (donate_argnums=(0,));
         # pass a fresh copy per iteration so the q=2 call never touches a
         # deleted buffer on backends that honor donation (TPU).
         out = shared_update(jnp.array(maps0), poses, ranges, cfg, pf)
         errs[q] = float(jnp.mean(jnp.abs(out - exact)))
     assert errs[2] < errs[1], errs
+
+
+def test_exact_endpoints_match_per_particle_marks():
+    """update_exact_endpoints (round-4 fix for the xy-quantization gap):
+    OFF-lattice poses — every occupancy mark must land at the particle's
+    EXACT endpoint cell (identical to the per-particle sparse path's
+    endpoint section), while the free-space carve keeps the anchor snap.
+    The snapped mode displaces marks by up to a cell; exact mode by 0."""
+    from slam2d_tpu.grid.occupancy import beam_angles
+
+    pf = PFConfig(n_particles=6, update_theta_slots=16,
+                  update_exact_endpoints=True)
+    rng = np.random.default_rng(7)
+    poses_n = np.stack([
+        rng.uniform(7.0, 9.0, 6), rng.uniform(7.0, 9.0, 6),
+        rng.uniform(-0.1, 0.1, 6),
+    ], axis=1).astype(np.float32)
+    poses = jnp.asarray(poses_n)
+    maps = jnp.zeros((6, 224, 224), jnp.float32)
+    ranges = _ranges(5)
+
+    out = np.asarray(
+        shared_update(jnp.array(maps), poses, ranges, CFG, pf)
+    )
+    snapped = np.asarray(shared_update(
+        jnp.array(maps), poses, ranges, CFG,
+        dataclasses.replace(pf, update_exact_endpoints=False),
+    ))
+    per = np.asarray(
+        _update_all(
+            maps, poses, ranges, CFG,
+            dataclasses.replace(pf, update_mode="per_particle"),
+        )
+    )
+
+    g = CFG.grid
+    r = np.asarray(ranges)
+    ang = np.asarray(beam_angles(CFG.sensor))
+    hit = (r > CFG.sensor.min_range) & (r < CFG.sensor.max_range)
+    for p in range(6):
+        ex = poses_n[p, 0] + np.cos(ang + poses_n[p, 2]) * r
+        ey = poses_n[p, 1] + np.sin(ang + poses_n[p, 2]) * r
+        ec = np.floor((ex - g.origin_x) / g.resolution).astype(int)
+        er = np.floor((ey - g.origin_y) / g.resolution).astype(int)
+        inb = (er >= 0) & (er < 224) & (ec >= 0) & (ec < 224) & hit
+        vals = out[p][er[inb], ec[inb]]
+        vals_snap = snapped[p][er[inb], ec[inb]]
+        vals_per = per[p][er[inb], ec[inb]]
+        # most exact endpoint cells carry strong positive evidence (a few
+        # lose some to neighboring beams' laterally-snapped carve — the
+        # snap the shared carve keeps by design)
+        assert (vals > 0.3).mean() > 0.85, (vals.min(), (vals > 0.3).mean())
+        assert np.median(vals) >= 0.8 * g.l_occ
+        # and at the endpoint cells the exact mode tracks the per-particle
+        # update far better than the snapped mode does
+        err_exact = np.abs(vals - vals_per).mean()
+        err_snap = np.abs(vals_snap - vals_per).mean()
+        assert err_exact < 0.5 * err_snap, (err_exact, err_snap)
