@@ -4,7 +4,9 @@ The reference preprocesses raw Radish CARMEN logs into per-dataset JSON with
 records {x, y, theta, range[]}. We support both on the host:
 
 - `load_carmen_log`: parses `FLASER` lines (which carry their own odometry
-  fields) and plain `ODOM` lines from a raw CARMEN file.
+  fields; legacy pre-2000 rows fall back to the laser pose) and
+  `ROBOTLASER1` lines from a raw CARMEN file. Standalone `ODOM` lines are
+  ignored — every supported scan line carries its own pose.
 - `load_json_log`: reads the reference's preprocessed-JSON shape — either a
   list of records or a dict keyed by timestamp with
   {"x", "y", "theta", "range": [...]} — tolerating a few common key spellings.
@@ -21,39 +23,100 @@ import json
 import numpy as np
 
 
-def load_carmen_log(path: str):
-    """Parse FLASER entries from a raw CARMEN log file.
+def _float(v: str) -> float:
+    """float() accepting a comma decimal separator (logs written under
+    European locales: `1,5` for 1.5 — real-world Radish variance)."""
+    try:
+        return float(v)
+    except ValueError:
+        return float(v.replace(",", ".", 1))
 
-    FLASER format: `FLASER num_readings r1 ... rn x y theta odom_x odom_y
-    odom_theta ts host log_ts` — we take the odometry pose fields.
+
+def _parse_flaser(parts, n_beams):
+    """One FLASER row -> (odom, ranges, n) or None.
+
+    Standard (post-2000) format: `FLASER n r1..rn x y theta odom_x
+    odom_y odom_theta ts host log_ts` — take the odometry fields.
+    Legacy (pre-2000) rows carry only the laser pose: `FLASER n r1..rn
+    x y theta ts host log_ts` — detected by the 3 fields after the pose
+    failing to parse as floats (the `host` token lands where odom_theta
+    would be); the laser pose is the best available odometry there."""
+    try:
+        n = int(parts[1])
+        if n <= 0 or len(parts) < 2 + n + 3:
+            return None
+        if n_beams is not None and n != n_beams:
+            return None
+        ranges = [_float(v) for v in parts[2 : 2 + n]]
+        pose = [_float(v) for v in parts[2 + n : 2 + n + 3]]
+    except ValueError:
+        return None
+    try:
+        odom = [_float(v) for v in parts[2 + n + 3 : 2 + n + 6]]
+        if len(odom) != 3:
+            raise ValueError
+    except ValueError:
+        odom = pose                     # legacy row: laser pose only
+    return odom, ranges, n
+
+
+def _parse_robotlaser1(parts, n_beams):
+    """One ROBOTLASER1 row -> (odom, ranges, n) or None.
+
+    Format: `ROBOTLASER1 laser_type start_angle fov angular_res max_range
+    accuracy remission_mode num_readings r1..rn num_remissions rem..
+    laser_x laser_y laser_theta robot_x robot_y robot_theta tv rv
+    forward_safety side_safety turn_axis ts host log_ts` — take the
+    ROBOT pose."""
+    try:
+        n = int(parts[8])
+        if n <= 0 or len(parts) < 9 + n + 1:
+            return None
+        if n_beams is not None and n != n_beams:
+            return None
+        ranges = [_float(v) for v in parts[9 : 9 + n]]
+        n_rem = int(parts[9 + n])
+        if n_rem < 0 or len(parts) < 10 + n + n_rem + 6:
+            return None
+        base = 10 + n + n_rem
+        odom = [_float(v) for v in parts[base + 3 : base + 6]]
+    except (ValueError, IndexError):
+        return None
+    return odom, ranges, n
+
+
+def load_carmen_log(path: str):
+    """Parse FLASER / ROBOTLASER1 entries from a raw CARMEN log file.
+
+    Hardened against real-world Radish variance (SURVEY §10 item 5):
+    pre-2000 FLASER rows without odometry fields (laser pose used),
+    ROBOTLASER1 logs (robot pose used), `#` comments and PARAM lines
+    (skipped), truncated final lines and non-numeric garbage (row
+    dropped), comma decimal separators (accepted). Any malformed row is
+    skipped — matching the C++ parser (data/native.py) bit for bit; the
+    beam count latches from the first valid positive-count row only.
     """
     odoms, scans = [], []
     n_beams = None
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         for line in f:
             parts = line.split()
-            if not parts or parts[0] != "FLASER":
+            if not parts:
                 continue
-            # Any malformed row (bad count, short row, non-numeric field)
-            # is skipped — matching the C++ parser, which drops rows that
-            # fail numeric parsing. The beam count latches from the first
-            # VALID positive-count row only.
-            try:
-                n = int(parts[1])
-                if n <= 0 or len(parts) < 2 + n + 6:
-                    continue
-                if n_beams is not None and n != n_beams:
-                    continue
-                ranges = [float(v) for v in parts[2 : 2 + n]]
-                # after ranges: x y theta odom_x odom_y odom_theta ...
-                ox, oy, oth = (float(v) for v in parts[2 + n + 3 : 2 + n + 6])
-            except ValueError:
+            if parts[0] == "FLASER":
+                row = _parse_flaser(parts, n_beams)
+            elif parts[0] == "ROBOTLASER1":
+                row = _parse_robotlaser1(parts, n_beams)
+            else:
                 continue
+            if row is None:
+                continue
+            odom, ranges, n = row
             n_beams = n
-            odoms.append((ox, oy, oth))
+            odoms.append(odom)
             scans.append(ranges)
     if not scans:
-        raise ValueError(f"no FLASER entries in {path}")
+        raise ValueError(f"no FLASER/ROBOTLASER1 entries in {path}")
     return {
         "odom": np.asarray(odoms, dtype=np.float32),
         "ranges": np.asarray(scans, dtype=np.float32),
