@@ -131,7 +131,62 @@ def main() -> int:
             )
         )
 
+    @functools.lru_cache(maxsize=None)
+    def make_per_collective_fns(n: int, P_local: int, grid: int,
+                                steps: int):
+        """Each collective KIND in the PF schedule timed in isolation
+        (VERDICT r3 item 4: 'explain the 0.419'): the normalize's
+        pmax+2*psum scalars, the resample CDF all_gather [P_local], the
+        packed best-pose all_gather [5], and one ring ppermute hop of the
+        full [P_local, grid*grid] map block."""
+        mesh = make_particle_mesh(n)
+        axis = "particles"
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def scan_of(one):
+            def many(*xs):
+                def body(c, _):
+                    c2 = one(*c)
+                    return c2, c2[0].ravel()[0]
+
+                c, _ = jax.lax.scan(body, xs, None, length=steps)
+                return c
+
+            return many
+
+        def norm_step(lw):
+            m = jax.lax.pmax(jnp.max(lw), axis)
+            z = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
+            ne = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * (lw - m))), axis)
+            return (lw - m - jnp.log(z) + 0.0 * ne,)
+
+        def cdf_step(lw):
+            lw_all = jax.lax.all_gather(lw, axis, tiled=True)
+            return (lw + 1e-12 * lw_all[0],)
+
+        def best_step(lw):
+            cand = jax.lax.all_gather(lw[:5], axis)
+            return (lw + 1e-12 * cand[0, 0],)
+
+        def ring_step(maps):
+            return (jax.lax.ppermute(maps, axis, perm),)
+
+        fns = {}
+        for name, one, spec in (
+            ("normalize_psum", norm_step, P(axis)),
+            ("cdf_all_gather", cdf_step, P(axis)),
+            ("best_pose_all_gather", best_step, P(axis)),
+            ("ring_ppermute_hop", ring_step, P(axis, None)),
+        ):
+            fns[name] = jax.jit(jax.shard_map(
+                scan_of(one), mesh=mesh, in_specs=(spec,),
+                out_specs=(spec,), check_vma=False,
+            ))
+        return mesh, fns
+
     rates, coll_rates, cpu_util = {}, {}, {}
+    per_coll = {}
+    ring_hist = {}
     for n in args.devices:
         pf = PFConfig(n_particles=args.particles_per_device * n)
         mesh = make_particle_mesh(n)
@@ -176,6 +231,62 @@ def main() -> int:
                 }
             )
         )
+
+        # ancestor-ring distance histogram from the REAL run (validates
+        # the ring's d_max claim: systematic ancestors cluster near their
+        # own shard, so most hops are dead)
+        from slam2d_tpu.pf.sharded import make_sharded_step
+
+        stats_step = jax.jit(
+            make_sharded_step(cfg, pf, mesh, ring_stats=True)
+        )
+        st2 = sharded_fastslam_init(
+            cfg, pf, jax.random.PRNGKey(0), mesh, start_pose=odom[0]
+        )
+        st2 = st2._replace(prev_odom=jnp.asarray(odom[0]))
+        kneeds = []
+        for t in range(T):
+            st2, out = stats_step(
+                st2, jnp.asarray(odom[t]), jnp.asarray(ranges[t])
+            )
+            kneeds.append(np.asarray(out[3]))
+        kn = np.concatenate(kneeds)
+        hist = np.bincount(kn, minlength=n)
+        ring_hist[n] = [int(v) for v in hist]
+        print(json.dumps({
+            "metric": "ancestor_ring_distance_histogram",
+            "devices": n,
+            "histogram": ring_hist[n],
+            "frac_zero_hops": round(float(hist[0]) / max(kn.size, 1), 4),
+        }))
+
+        # per-collective isolation at the same shapes
+        cmesh2, cfns = make_per_collective_fns(
+            n, pf.n_particles, args.grid, cfg.chunk
+        )
+        per_coll[n] = {}
+        for cname, fn in cfns.items():
+            if cname == "ring_ppermute_hop":
+                x = (jnp.zeros(
+                    (pf.n_particles, args.grid * args.grid), jnp.float32
+                ),)
+            else:
+                x = (jnp.zeros(pf.n_particles, jnp.float32),)
+            (y,) = fn(*x)    # compile
+            np.asarray(y.ravel()[0])
+            t0 = time.perf_counter()
+            reps = max(1, T // cfg.chunk)
+            for _ in range(reps):
+                (y,) = fn(y if cname != "ring_ppermute_hop" else y,)
+            np.asarray(y.ravel()[0])
+            dt = time.perf_counter() - t0
+            us = dt / (reps * cfg.chunk) * 1e6
+            per_coll[n][cname] = round(us, 1)
+        print(json.dumps({
+            "metric": "per_collective_step_cost_us",
+            "devices": n,
+            **per_coll[n],
+        }))
 
         # collectives-only probe at the same shapes
         steps = T

@@ -217,6 +217,13 @@ class PFConfig:
     # can. Supersedes update_bilinear/update_subcell (which blur or
     # multiply the image build instead).
     update_exact_endpoints: bool = True
+    # Cells to pull the exact-endpoint mode's shared carve short of the
+    # measured range (protects the exact marks from the snapped carve
+    # crossing them; 0 = carve to the standard one-cell stop). Chip A/B
+    # (4 seeds): 0.0 measures mean ATE 0.199 vs 1.0's 0.210 — the lost
+    # free evidence near walls costs more than the occasional mark
+    # erosion it prevents; 0 is the default.
+    update_carve_shrink: float = 0.0
     # Host-gated dispatch: fuse up to this many dead-reckoning scans into
     # the FRONT of each heavy dispatch (make_heavy_step_fused) — every
     # dispatch pays a ~2.4 ms tunnel enqueue floor regardless of device
@@ -255,13 +262,21 @@ class GraphConfig:
     gn_iters: int = 10
     loop_radius: float = 3.0          # spatial gate for loop candidates
     loop_min_gap: int = 20            # min keyframe index gap for a loop
-    loop_score_accept: float = 0.55   # matcher score to accept a loop edge
+    # Accept gates chosen from a measured precision/recall sweep over
+    # 180 GT-labeled attempts on loop-dense scenarios incl. an
+    # alias-stress family (docs/LOOP_GATES.md, scripts/sweep_loop_gates
+    # .py): this operating point sits in the measured precision-1.0
+    # region at recall ~0.91 — one false accept costs ~0.4 ATE (the
+    # round-3 stale-prior alias) while a missed true loop only waits a
+    # few keyframes for the next attempt.
+    loop_score_accept: float = 0.45   # matcher score to accept a loop edge
     # Plausibility gate: reject a loop whose implied correction of the
     # current estimate exceeds these bounds (guards against corridor-aliased
     # matches that score well but are shifted by multiples of the structure
-    # period; scale up for long-drift datasets).
-    loop_max_correction_xy: float = 1.5
-    loop_max_correction_theta: float = 0.6
+    # period; SCALE UP for long-drift datasets — the endurance/Killian
+    # benches run 2.5 m).
+    loop_max_correction_xy: float = 1.0
+    loop_max_correction_theta: float = 0.4
     # Skip loop attempts for this many keyframes after an accepted loop
     # (consecutive keyframes re-close the same loop with little new info).
     loop_cooldown: int = 3

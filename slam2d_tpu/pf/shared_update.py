@@ -166,11 +166,13 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     img_ranges = ranges
     if exact_ep:
         img_cfg = dataclasses.replace(img_cfg, l_occ=0.0)
-        # pull the carve one extra cell short of the measured endpoint:
-        # the anchor snap displaces the shared carve by up to ~a cell, so
-        # without the margin it can cross (and erode) the exact endpoint
-        # marks added below
-        img_ranges = jnp.maximum(ranges - res, 0.0)
+        # pull the carve update_carve_shrink cells short of the measured
+        # endpoint: the anchor snap displaces the shared carve by up to
+        # ~a cell, so without the margin it can cross (and erode) the
+        # exact endpoint marks added below
+        shrink = float(getattr(pf, "update_carve_shrink", 1.0))
+        if shrink > 0.0:
+            img_ranges = jnp.maximum(ranges - shrink * res, 0.0)
 
     def one_image(th, off_xy):
         pose_g = jnp.concatenate([off_xy, th[None]])

@@ -313,10 +313,12 @@ class FullSLAMResult(NamedTuple):
     # accepted loop records: (i, j, score, zx, zy, ztheta) per loop
     loops: np.ndarray = np.zeros((0, 6), np.float32)
     # every ATTEMPTED loop closure:
-    # (i, j, score, peak_margin, corr_xy, corr_theta, accepted) —
-    # observability for tuning the accept gates (score threshold,
-    # peak-margin, max-correction)
-    loop_attempts: np.ndarray = np.zeros((0, 7), np.float32)
+    # (i, j, score, peak_margin, corr_xy, corr_theta, accepted,
+    #  zx, zy, ztheta) — z* is the MEASURED relative pose i -> j, so an
+    # offline sweep can label each attempt true/false against ground
+    # truth and choose the accept gates from a precision/recall curve
+    # (scripts/sweep_loop_gates.py)
+    loop_attempts: np.ndarray = np.zeros((0, 10), np.float32)
     # resumable pipeline snapshot (see fullslam_ckpt_template) — save with
     # utils.checkpoint.save_state and pass back as `resume=`
     ckpt: dict | None = None
@@ -594,7 +596,9 @@ class LoopCloser:
             corr = _np_between(a["prior_rel"], matched_rel)
             attempt = [float(a["i"]), float(a["k_new"]), float(score),
                        float(margin), float(np.hypot(corr[0], corr[1])),
-                       float(abs(corr[2])), 0.0]
+                       float(abs(corr[2])), 0.0,
+                       float(matched_rel[0]), float(matched_rel[1]),
+                       float(matched_rel[2])]
             self.attempt_records.append(attempt)
             if float(score) < self.gcfg.loop_score_accept:
                 continue
@@ -1043,6 +1047,6 @@ def run_full_slam(
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
         loop_attempts=np.asarray(
             closer.attempt_records, np.float32
-        ).reshape(-1, 7),
+        ).reshape(-1, 10),
         ckpt=ckpt,
     )

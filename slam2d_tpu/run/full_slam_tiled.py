@@ -473,6 +473,6 @@ def run_full_slam_tiled(
         loops=np.asarray(loop_records, np.float32).reshape(-1, 6),
         loop_attempts=np.asarray(
             closer.attempt_records, np.float32
-        ).reshape(-1, 7),
+        ).reshape(-1, 10),
         ckpt=ckpt,
     )

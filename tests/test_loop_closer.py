@@ -74,7 +74,7 @@ def test_gates_reject_and_record():
     assert accepts == []
     assert cd is None and nl is None
     rec = np.asarray(closer.attempt_records)
-    assert rec.shape == (4, 7)
+    assert rec.shape == (4, 10)
     assert (rec[:, 6] == 0.0).all()               # all recorded as rejected
 
 
