@@ -91,34 +91,53 @@ def main() -> int:
     n_cores = os.cpu_count() or 1
 
     @functools.lru_cache(maxsize=None)
-    def make_collectives_only_fn(n: int, P_local: int, steps: int):
-        """The sharded PF step's collective schedule with NO local compute:
-        pmax/psum log-weight normalization, all_gather of shard sums, and
-        a ring ppermute of the full [P_local, H, W] map stack per scan
-        (an UPPER bound — the real step rings only on N_eff triggers)."""
+    def make_collectives_only_fn(n: int, P_local: int, steps: int,
+                                 refine_every: int = 1,
+                                 ring_every: int = 1):
+        """The sharded PF step's collective schedule with NO local compute.
+
+        refine_every=ring_every=1 is the historical UPPER bound (every
+        collective every scan). The round-4 production schedule gates
+        the weight collectives off no-refine scans and the CDF/ring
+        behind the resample trigger — refine_every=3, ring_every=20
+        models that cadence (measured: refines ~1 in 3 scans, resamples
+        ~1 in 20; ancestor histogram shows the ring's hops are ~all
+        dead even then)."""
         mesh = make_particle_mesh(n)
         axis = "particles"
         perm = [(i, (i + 1) % n) for i in range(n)]
 
-        def step(log_w, maps):
-            m = jax.lax.pmax(jnp.max(log_w), axis)
-            s = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), axis)
-            log_w = log_w - (m + jnp.log(s))
-            shard_sums = jax.lax.all_gather(
-                jnp.sum(jnp.exp(log_w)), axis
+        def step(i, log_w, maps):
+            def norm(lw):
+                m = jax.lax.pmax(jnp.max(lw), axis)
+                s = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
+                return lw - (m + jnp.log(s))
+
+            log_w = jax.lax.cond(
+                i % refine_every == 0, norm, lambda lw: lw, log_w
             )
-            maps = jax.lax.ppermute(maps, axis, perm)
-            # data dependence so nothing is DCE'd
-            return log_w + 0.0 * jnp.sum(shard_sums), maps
+
+            def resample(args):
+                lw, mp = args
+                shard_sums = jax.lax.all_gather(jnp.sum(jnp.exp(lw)), axis)
+                mp = jax.lax.ppermute(mp, axis, perm)
+                return lw + 0.0 * jnp.sum(shard_sums), mp
+
+            log_w, maps = jax.lax.cond(
+                i % ring_every == 0, resample, lambda a: a, (log_w, maps)
+            )
+            # packed best-pose gather rides every step (trajectory out)
+            cand = jax.lax.all_gather(log_w[:5], axis)
+            return log_w + 1e-20 * cand[0, 0], maps
 
         def many(log_w, maps):
-            def body(carry, _):
+            def body(carry, i):
                 lw, mp = carry
-                lw, mp = step(lw, mp)
+                lw, mp = step(i, lw, mp)
                 return (lw, mp), lw[0]
 
             (log_w, maps), _ = jax.lax.scan(
-                body, (log_w, maps), None, length=steps
+                body, (log_w, maps), jnp.arange(steps)
             )
             return log_w, maps
 
@@ -185,6 +204,7 @@ def main() -> int:
         return mesh, fns
 
     rates, coll_rates, cpu_util = {}, {}, {}
+    coll_rates_prod = {}
     per_coll = {}
     ring_hist = {}
     for n in args.devices:
@@ -288,38 +308,44 @@ def main() -> int:
             **per_coll[n],
         }))
 
-        # collectives-only probe at the same shapes
+        # collectives-only probes at the same shapes: the historical
+        # every-step upper bound AND the production-cadence schedule
         steps = T
-        cmesh, coll_fn = make_collectives_only_fn(
-            n, pf.n_particles, cfg.chunk
-        )
-        log_w = jnp.zeros(pf.n_particles, jnp.float32)
-        maps = jnp.zeros(
-            (pf.n_particles, args.grid, args.grid), jnp.float32
-        )
-        lw, mp = coll_fn(log_w, maps)   # compile
-        np.asarray(lw)
-        t0 = time.perf_counter()
-        for _ in range(steps // cfg.chunk):
-            lw, mp = coll_fn(lw, mp)
-        np.asarray(lw)
-        dt = time.perf_counter() - t0
-        coll_rates[n] = steps / dt
-        print(
-            json.dumps(
-                {
-                    "metric": "collectives_only_steps_per_sec",
-                    "devices": n,
-                    "value": round(coll_rates[n], 2),
-                    "unit": "steps/s",
-                }
+        for tag, re_, ri_ in (("", 1, 1), ("_production_cadence", 3, 20)):
+            cmesh, coll_fn = make_collectives_only_fn(
+                n, pf.n_particles, cfg.chunk, re_, ri_
             )
-        )
+            log_w = jnp.zeros(pf.n_particles, jnp.float32)
+            maps = jnp.zeros(
+                (pf.n_particles, args.grid, args.grid), jnp.float32
+            )
+            lw, mp = coll_fn(log_w, maps)   # compile
+            np.asarray(lw)
+            t0 = time.perf_counter()
+            for _ in range(steps // cfg.chunk):
+                lw, mp = coll_fn(lw, mp)
+            np.asarray(lw)
+            dt = time.perf_counter() - t0
+            if tag == "":
+                coll_rates[n] = steps / dt
+            else:
+                coll_rates_prod[n] = steps / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": f"collectives_only{tag}_steps_per_sec",
+                        "devices": n,
+                        "value": round(steps / dt, 2),
+                        "unit": "steps/s",
+                    }
+                )
+            )
 
     base = args.devices[0]
     top = max(args.devices)
     eff = rates[top] / rates[base]
     coll_eff = coll_rates[top] / coll_rates[base]
+    coll_eff_prod = coll_rates_prod[top] / coll_rates_prod[base]
     print(
         json.dumps(
             {
@@ -366,6 +392,9 @@ def main() -> int:
             {
                 "metric": "weak_scaling_evidence",
                 "collectives_only_efficiency": round(coll_eff, 3),
+                "collectives_production_cadence_efficiency": round(
+                    coll_eff_prod, 3
+                ),
                 "cpu_seconds_per_scan_growth": round(work_growth, 2),
                 "width_growth": top // base,
                 "host_cpu_utilization": {

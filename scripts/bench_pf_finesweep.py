@@ -71,15 +71,27 @@ def main():
 
     # round-2 baseline point (library-ish constants at fine res)
     base = dict(noise_xy=0.01, noise_theta=0.005, sharp=30.0, gate=0.25)
-    run_point(log, gt, odom_ate, **base)
+    results = {}
+    results[tuple(base.values())] = run_point(log, gt, odom_ate, **base)
     # one-axis perturbations around it
     for nx, nt in ((0.005, 0.0025), (0.02, 0.01)):
-        run_point(log, gt, odom_ate, **{**base, "noise_xy": nx,
-                                        "noise_theta": nt})
+        p = {**base, "noise_xy": nx, "noise_theta": nt}
+        results[tuple(p.values())] = run_point(log, gt, odom_ate, **p)
     for sharp in (10.0, 60.0):
-        run_point(log, gt, odom_ate, **{**base, "sharp": sharp})
+        p = {**base, "sharp": sharp}
+        results[tuple(p.values())] = run_point(log, gt, odom_ate, **p)
     for gate in (0.15, 0.35):
-        run_point(log, gt, odom_ate, **{**base, "gate": gate})
+        p = {**base, "gate": gate}
+        results[tuple(p.values())] = run_point(log, gt, odom_ate, **p)
+
+    # 3-seed validation at the best point (VERDICT r3 item 5 "done"
+    # criterion: PF ATE < odom ATE on 3 seeds at 0.05 m)
+    best = min(results, key=results.get)
+    bp = dict(zip(("noise_xy", "noise_theta", "sharp", "gate"), best))
+    print(json.dumps({"best_point": bp, "seed0_ate": results[best]}),
+          flush=True)
+    for seed in (1, 2):
+        run_point(log, gt, odom_ate, **bp, seed=seed)
 
 
 if __name__ == "__main__":
