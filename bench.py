@@ -60,6 +60,14 @@ def measure_reference_baseline(log, n_prime: int = 30, n_time: int = 3):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--score-impl", default=None,
+                    help="MatcherConfig.score_impl override "
+                         "(mxu | mxu_int8 | ... — for scorer A/Bs)")
+    args = ap.parse_args()
+
     # CARMEN-like sensor, production-ish grid (51.2 m @ 5 cm cells).
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
@@ -67,7 +75,10 @@ def main():
             height=1024, width=1024, resolution=0.05, ray_samples=256,
             center_x=10.0, center_y=10.0,
         ),
-        matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13),
+        matcher=MatcherConfig(
+            search_xy=0.3, search_theta=0.15, n_theta=13,
+            **({"score_impl": args.score_impl} if args.score_impl else {}),
+        ),
         chunk=64,
         match_min_motion=0.25,   # fine-res tuning (see FrontendConfig note)
     )

@@ -5,6 +5,7 @@ accuracy (CPU tests can't see TPU-only dispatch branches).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_ate.py [impl] [seed] [fine_theta_bins]
   impl: optional GridConfig.update_impl override (auto|sparse_mxu|pallas|...)
   fine_theta_bins: optional MatcherConfig.fine_theta_bins override (-1 = all)
+  argv[4]: optional MatcherConfig.score_impl override (mxu | mxu_int8 | ...)
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     ftb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    simpl = sys.argv[4] if len(sys.argv) > 4 else "auto"
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=180, max_range=12.0),
         grid=GridConfig(
@@ -38,7 +40,7 @@ def main():
             center_x=10.0, center_y=10.0, update_impl=impl,
         ),
         matcher=MatcherConfig(search_xy=0.3, search_theta=0.15, n_theta=13,
-                              fine_theta_bins=ftb),
+                              fine_theta_bins=ftb, score_impl=simpl),
         chunk=64,
         match_min_motion=0.25,
     )

@@ -190,13 +190,14 @@ def score_offsets(
 
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
-    if impl in ("mxu", "emx", "cmx"):
+    if impl in ("mxu", "mxu_int8", "emx", "cmx"):
         # requires drows/dcols to be contiguous symmetric ranges (they are,
         # for both matcher passes) — these paths derive offsets from R, C
         from slam2d_tpu.ops.mxu_score import (
             score_offsets_cmx,
             score_offsets_emx,
             score_offsets_mxu,
+            score_offsets_mxu_int8,
         )
 
         if impl == "cmx":
@@ -208,6 +209,14 @@ def score_offsets(
                     R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
                     use_bf16=use_bf16,
                     interpret=jax.default_backend() != "tpu",
+                )
+                / denom
+            )
+        if impl == "mxu_int8":
+            return (
+                score_offsets_mxu_int8(
+                    S, pos_row, pos_col, valid,
+                    R=drows.shape[0], C=dcols.shape[0], bilinear=bilinear,
                 )
                 / denom
             )

@@ -27,6 +27,93 @@ import jax.numpy as jnp
 
 
 @functools.partial(
+    jax.jit, static_argnames=("R", "C", "bilinear")
+)
+def score_offsets_mxu_int8(
+    S,
+    pos_row,
+    pos_col,
+    valid,
+    R: int,
+    C: int,
+    bilinear: bool = True,
+):
+    """score_offsets_mxu with int8 operands end to end (VERDICT r3
+    item 3: shrink the bytes, not the FLOPs — the scorer is HBM-bound at
+    98% of peak and its stream is the MATERIALIZED one-hot operands
+    A/P/O, ~100 MB/match at frontend shapes, not the 1 MB search
+    space).
+
+    - S quantizes to int8 with one global scale (the blurred likelihood
+      field is smooth and bounded; 180-beam score sums average the
+      ~0.4%-of-range rounding noise down below the peak-refinement
+      quantum — ATE parity asserted in tests/test_score_impls.py).
+    - A and O are one-hots — EXACTLY representable in int8.
+    - Stage 1 runs int8 x int8 -> int32; its output rows are gathered S
+      values, so the int8 downcast back is exact and P stays 1 byte.
+    - The bilinear corner blend happens in f32 on the small [X, R+1,
+      C+1] Q block, identical math to the f32/bf16 path.
+    Halves every operand byte vs bf16: A 34->17 MB, P 34->17, O 34->17
+    at the frontend match shape."""
+    H, W = S.shape
+    T, B = pos_row.shape
+    X = T * B
+    ra, ca = R // 2, C // 2
+
+    r0f = jnp.floor(pos_row) if bilinear else jnp.round(pos_row)
+    c0f = jnp.floor(pos_col) if bilinear else jnp.round(pos_col)
+    fr = (pos_row - r0f).reshape(X) if bilinear else jnp.zeros(X, jnp.float32)
+    fc = (pos_col - c0f).reshape(X) if bilinear else jnp.zeros(X, jnp.float32)
+    r0 = r0f.astype(jnp.int32).reshape(X) - ra
+    c0 = c0f.astype(jnp.int32).reshape(X) - ca
+
+    ok = (
+        (r0 >= 0) & (r0 <= H - (R + 1))
+        & (c0 >= 0) & (c0 <= W - (C + 1))
+        & jnp.tile(valid, T)
+    )
+    r0 = jnp.clip(r0, 0, H - (R + 1))
+    c0 = jnp.clip(c0, 0, W - (C + 1))
+
+    scale = jnp.maximum(jnp.max(jnp.abs(S)), 1e-12) / 127.0
+    S8 = jnp.clip(jnp.round(S / scale), -127, 127).astype(jnp.int8)
+
+    h_iota = jnp.arange(H, dtype=jnp.int32)
+    rows_idx = r0[:, None] + jnp.arange(R + 1, dtype=jnp.int32)[None, :]
+    A = (rows_idx[:, :, None] == h_iota[None, None, :]) & ok[:, None, None]
+    A8 = A.reshape(X * (R + 1), H).astype(jnp.int8)
+    P8 = jnp.dot(
+        A8, S8, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)                       # exact: rows of S8 (or 0)
+    P8 = P8.reshape(X, R + 1, W)
+
+    w_iota = jnp.arange(W, dtype=jnp.int32)
+    cols_idx = c0[:, None] + jnp.arange(C + 1, dtype=jnp.int32)[None, :]
+    O8 = (w_iota[None, :, None] == cols_idx[:, None, :]).astype(jnp.int8)
+    Q = jax.lax.dot_general(
+        P8, O8,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * scale            # [X, R+1, C+1]
+
+    if bilinear:
+        w00 = ((1 - fr) * (1 - fc))[:, None, None]
+        w01 = ((1 - fr) * fc)[:, None, None]
+        w10 = (fr * (1 - fc))[:, None, None]
+        w11 = (fr * fc)[:, None, None]
+        out = (
+            Q[:, :R, :C] * w00
+            + Q[:, :R, 1:] * w01
+            + Q[:, 1:, :C] * w10
+            + Q[:, 1:, 1:] * w11
+        )
+    else:
+        out = Q[:, :R, :C]
+
+    return out.reshape(T, B, R, C).sum(axis=1)
+
+
+@functools.partial(
     jax.jit, static_argnames=("R", "C", "bilinear", "use_bf16")
 )
 def score_offsets_mxu(
