@@ -47,7 +47,10 @@ def main():
         loop_max_correction_xy=2.5, gn_iters=10, robust_kind="dcs",
     )
     print(f"backend={jax.default_backend()}", flush=True)
-    world, log = endurance_log(cfg.sensor, span=span, laps=3, step=0.03,
+    # laps=4: laps=3 measured 9966 scans — just under the >= 10k target
+    # (the docstring's ~13k estimate was off; round-4 chip run tripped
+    # the assert)
+    world, log = endurance_log(cfg.sensor, span=span, laps=4, step=0.03,
                                seed=0)
     T = len(log["odom"])
     gt = log["gt_poses"]
