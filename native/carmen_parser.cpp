@@ -199,11 +199,15 @@ inline RowKind row_kind(const Cursor& c) {
 }
 
 // Parse one scan row positioned AT the keyword. On success fills nb,
-// odom[3] and (when rrow != nullptr) the nb ranges. want_beams < 0
-// accepts any positive beam count (the count pass's latch probe).
+// odom[3], the ts field in *stamp (NaN when absent — matches the
+// Python loader), and (when rrow != nullptr) the nb ranges.
+// want_beams < 0 accepts any positive beam count (the count pass's
+// latch probe).
 bool parse_row(Cursor t, RowKind kind, long want_beams, long* nb_out,
-               double odom[3], float* rrow) {
+               double odom[3], float* rrow, double* stamp) {
   long nb;
+  const double kNan = __builtin_nan("");
+  *stamp = kNan;
   if (kind == kFlaser) {
     t.p += 7;
     if (!parse_long(t, &nb) || nb <= 0) return false;
@@ -222,12 +226,22 @@ bool parse_row(Cursor t, RowKind kind, long want_beams, long* nb_out,
                      parse_double(probe, &od[1]) &&
                      parse_double(probe, &od[2]);
     for (int i = 0; i < 3; ++i) odom[i] = have_odom ? od[i] : pose[i];
+    if (have_odom) {
+      double ts;
+      if (parse_double(probe, &ts)) *stamp = ts;
+    } else {
+      // legacy row: the first post-pose token IS the ts (it parsed as
+      // od[0] in the probe, or failed)
+      Cursor p2 = t;
+      double ts;
+      if (parse_double(p2, &ts)) *stamp = ts;
+    }
     *nb_out = nb;
     return true;
   }
   // ROBOTLASER1: 7 config tokens (not validated), n, ranges, n_rem,
   // remission tokens (not validated), laser pose tokens (not
-  // validated), robot pose (validated)
+  // validated), robot pose (validated), 5 velocity/safety tokens, ts
   t.p += 12;
   for (int i = 0; i < 7; ++i)
     if (!skip_token(t)) return false;
@@ -244,6 +258,13 @@ bool parse_row(Cursor t, RowKind kind, long want_beams, long* nb_out,
     if (!skip_token(t)) return false;
   for (int i = 0; i < 3; ++i)
     if (!parse_double(t, &odom[i])) return false;
+  {
+    Cursor p2 = t;
+    bool ok5 = true;
+    for (int i = 0; i < 5 && ok5; ++i) ok5 = skip_token(p2);
+    double ts;
+    if (ok5 && parse_double(p2, &ts)) *stamp = ts;
+  }
   *nb_out = nb;
   return true;
 }
@@ -266,8 +287,8 @@ int carmen_count(const char* path, int64_t* n_scans, int64_t* n_beams) {
     if (kind != kNone) {
       if (beams == 0) {
         long nb;
-        double od[3];
-        if (parse_row(c, kind, -1, &nb, od, nullptr)) beams = nb;
+        double od[3], ts;
+        if (parse_row(c, kind, -1, &nb, od, nullptr, &ts)) beams = nb;
       }
       ++rows;
     }
@@ -279,11 +300,12 @@ int carmen_count(const char* path, int64_t* n_scans, int64_t* n_beams) {
   return 0;
 }
 
-// Second pass: fill odom [n*3] and ranges [n*n_beams] (row-major
-// float32). Rows whose beam count differs from n_beams, or that fail
-// numeric parsing, are skipped. Returns rows written, or -1 on IO error.
+// Second pass: fill odom [n*3], ranges [n*n_beams] (row-major float32)
+// and stamps [n] (f64 ts field, NaN when absent; pass nullptr to skip).
+// Rows whose beam count differs from n_beams, or that fail numeric
+// parsing, are skipped. Returns rows written, or -1 on IO error.
 int64_t carmen_parse(const char* path, float* odom, float* ranges,
-                     int64_t n, int64_t n_beams) {
+                     int64_t n, int64_t n_beams, double* stamps) {
   Mapped m = map_file(path);
   if (!m.ok()) return -1;
   Cursor c{m.data, m.data + m.size};
@@ -295,12 +317,13 @@ int64_t carmen_parse(const char* path, float* odom, float* ranges,
       continue;
     }
     long nb;
-    double od[3];
+    double od[3], ts;
     float* rrow = ranges + row * n_beams;
-    if (parse_row(c, kind, n_beams, &nb, od, rrow)) {
+    if (parse_row(c, kind, n_beams, &nb, od, rrow, &ts)) {
       odom[row * 3 + 0] = static_cast<float>(od[0]);
       odom[row * 3 + 1] = static_cast<float>(od[1]);
       odom[row * 3 + 2] = static_cast<float>(od[2]);
+      if (stamps) stamps[row] = ts;
       ++row;
     }
     skip_line(c);

@@ -33,14 +33,16 @@ def _float(v: str) -> float:
 
 
 def _parse_flaser(parts, n_beams):
-    """One FLASER row -> (odom, ranges, n) or None.
+    """One FLASER row -> (odom, ranges, n, stamp) or None.
 
     Standard (post-2000) format: `FLASER n r1..rn x y theta odom_x
     odom_y odom_theta ts host log_ts` — take the odometry fields.
     Legacy (pre-2000) rows carry only the laser pose: `FLASER n r1..rn
     x y theta ts host log_ts` — detected by the 3 fields after the pose
     failing to parse as floats (the `host` token lands where odom_theta
-    would be); the laser pose is the best available odometry there."""
+    would be); the laser pose is the best available odometry there.
+    stamp = the ts field (NaN when absent) — the key the Radish
+    relations files reference (metrics.load_relations)."""
     try:
         n = int(parts[1])
         if n <= 0 or len(parts) < 2 + n + 3:
@@ -51,23 +53,29 @@ def _parse_flaser(parts, n_beams):
         pose = [_float(v) for v in parts[2 + n : 2 + n + 3]]
     except ValueError:
         return None
+    ts_at = 2 + n + 3
     try:
         odom = [_float(v) for v in parts[2 + n + 3 : 2 + n + 6]]
         if len(odom) != 3:
             raise ValueError
+        ts_at = 2 + n + 6
     except ValueError:
         odom = pose                     # legacy row: laser pose only
-    return odom, ranges, n
+    try:
+        stamp = _float(parts[ts_at])
+    except (ValueError, IndexError):
+        stamp = float("nan")
+    return odom, ranges, n, stamp
 
 
 def _parse_robotlaser1(parts, n_beams):
-    """One ROBOTLASER1 row -> (odom, ranges, n) or None.
+    """One ROBOTLASER1 row -> (odom, ranges, n, stamp) or None.
 
     Format: `ROBOTLASER1 laser_type start_angle fov angular_res max_range
     accuracy remission_mode num_readings r1..rn num_remissions rem..
     laser_x laser_y laser_theta robot_x robot_y robot_theta tv rv
     forward_safety side_safety turn_axis ts host log_ts` — take the
-    ROBOT pose."""
+    ROBOT pose; stamp = ts (5 fields after the robot pose)."""
     try:
         n = int(parts[8])
         if n <= 0 or len(parts) < 9 + n + 1:
@@ -82,7 +90,11 @@ def _parse_robotlaser1(parts, n_beams):
         odom = [_float(v) for v in parts[base + 3 : base + 6]]
     except (ValueError, IndexError):
         return None
-    return odom, ranges, n
+    try:
+        stamp = _float(parts[base + 11])
+    except (ValueError, IndexError):
+        stamp = float("nan")
+    return odom, ranges, n, stamp
 
 
 def load_carmen_log(path: str):
@@ -96,7 +108,7 @@ def load_carmen_log(path: str):
     skipped — matching the C++ parser (data/native.py) bit for bit; the
     beam count latches from the first valid positive-count row only.
     """
-    odoms, scans = [], []
+    odoms, scans, stamps = [], [], []
     n_beams = None
     with open(path, errors="replace") as f:
         for line in f:
@@ -111,15 +123,20 @@ def load_carmen_log(path: str):
                 continue
             if row is None:
                 continue
-            odom, ranges, n = row
+            odom, ranges, n, stamp = row
             n_beams = n
             odoms.append(odom)
             scans.append(ranges)
+            stamps.append(stamp)
     if not scans:
         raise ValueError(f"no FLASER/ROBOTLASER1 entries in {path}")
     return {
         "odom": np.asarray(odoms, dtype=np.float32),
         "ranges": np.asarray(scans, dtype=np.float32),
+        # per-scan timestamps (the FLASER/ROBOTLASER1 ts field; NaN when
+        # a row lacks one) — the Radish relations-file key
+        # (metrics.rpe_relations)
+        "stamps": np.asarray(stamps, dtype=np.float64),
     }
 
 

@@ -46,6 +46,7 @@ def _load_lib(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
     ]
     lib.carmen_parse.restype = ctypes.c_int64
     _LIB = lib
@@ -72,12 +73,14 @@ def load_carmen_log_native(path: str):
         raise ValueError(f"no FLASER entries in {path}")
     odom = np.empty((n.value, 3), np.float32)
     ranges = np.empty((n.value, b.value), np.float32)
+    stamps = np.empty(n.value, np.float64)
     rows = lib.carmen_parse(
         path.encode(),
         odom.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n.value,
         b.value,
+        stamps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     if rows < 0:
         raise IOError(f"parse failed for {path}")
@@ -85,4 +88,8 @@ def load_carmen_log_native(path: str):
         # parity with the Python loader: all rows malformed => error, not
         # silently-empty arrays
         raise ValueError(f"no parseable FLASER entries in {path}")
-    return {"odom": odom[:rows], "ranges": ranges[:rows]}
+    return {
+        "odom": odom[:rows],
+        "ranges": ranges[:rows],
+        "stamps": stamps[:rows],
+    }

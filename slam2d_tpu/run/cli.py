@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gt-ate", action="store_true",
                    help="print ATE vs ground truth (synth logs only)")
+    p.add_argument("--relations", default=None, metavar="FILE",
+                   help="score the trajectory against a Radish relations "
+                        "file (t1 t2 x y z roll pitch yaw — the CARMEN "
+                        "benchmark ground-truth format; needs a log with "
+                        "timestamps, i.e. a real .clf)")
     p.add_argument("--save-viz", action="store_true")
     p.add_argument("--save-video", default=None, metavar="PATH",
                    help="write a map-build animation (.gif, or .mp4 via "
@@ -468,6 +473,22 @@ def main(argv=None) -> int:
         metrics["ate_odom_m"] = round(
             ate_rmse(log["odom"], log["gt_poses"], align=False), 4
         )
+    if args.relations:
+        # Radish relations-file scoring (the CARMEN benchmark ground
+        # truth: verified relative poses keyed by scan timestamp)
+        from slam2d_tpu.metrics import load_relations, rpe_relations
+
+        if "stamps" not in log:
+            metrics["relations_error"] = "log has no timestamps"
+        else:
+            rr = rpe_relations(
+                traj[: len(log["stamps"])], log["stamps"][: len(traj)],
+                load_relations(args.relations),
+            )
+            metrics["relations_trans_rmse_m"] = round(rr["trans_rmse"], 4)
+            metrics["relations_rot_rmse_rad"] = round(rr["rot_rmse"], 4)
+            metrics["relations_used"] = rr["n_used"]
+            metrics["relations_total"] = rr["n_total"]
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -188,3 +188,67 @@ def test_real_world_variance_matrix(tmp_path):
     np.testing.assert_allclose(
         nat["ranges"], py["ranges"], rtol=1e-5, atol=1e-4
     )
+
+
+def test_stamps_parity_and_relations_metric(tmp_path):
+    """Timestamps parse identically in C++ and Python across row
+    variants, and the Radish relations metric scores a trajectory
+    correctly (zero error against relations derived from the same poses;
+    known injected error recovered)."""
+    native = pytest.importorskip("slam2d_tpu.data.native")
+    if not native.native_available():
+        pytest.skip("native parser not buildable")
+    rng = np.random.default_rng(11)
+    beams = 5
+    lines = []
+    poses = []
+    for t in range(40):
+        r = rng.uniform(1.0, 10.0, beams)
+        pose = np.array([0.3 * t, 0.1 * t, 0.01 * t])
+        poses.append(pose)
+        rs = " ".join("%.3f" % v for v in r)
+        ps = " ".join("%.6f" % v for v in pose)
+        ts = 100.0 + 0.25 * t
+        if t % 3 == 2:
+            # legacy row: laser pose only, ts right after
+            lines.append(f"FLASER {beams} {rs} {ps} {ts:.6f} bot {ts:.6f}\n")
+        else:
+            lines.append(
+                f"FLASER {beams} {rs} {ps} {ps} {ts:.6f} bot {ts:.6f}\n"
+            )
+    p = tmp_path / "stamps.clf"
+    p.write_text("".join(lines))
+
+    py = load_py(str(p))
+    nat = native.load_carmen_log_native(str(p))
+    assert "stamps" in py and "stamps" in nat
+    want_ts = 100.0 + 0.25 * np.arange(40)
+    np.testing.assert_allclose(py["stamps"], want_ts, atol=1e-6)
+    np.testing.assert_allclose(nat["stamps"], py["stamps"], atol=1e-9)
+
+    # relations metric: relations derived from the true poses -> ~0 error
+    from slam2d_tpu.metrics import load_relations, rpe_relations
+
+    rel_lines = []
+    for a, b in ((0, 30), (5, 25), (10, 39)):
+        pa, pb = poses[a], poses[b]
+        c, s = np.cos(pa[2]), np.sin(pa[2])
+        d = pb[:2] - pa[:2]
+        dx, dy = c * d[0] + s * d[1], -s * d[0] + c * d[1]
+        dyaw = pb[2] - pa[2]
+        rel_lines.append(
+            f"{want_ts[a]:.6f} {want_ts[b]:.6f} {dx:.9f} {dy:.9f} 0 0 0 "
+            f"{dyaw:.9f}\n"
+        )
+    rp = tmp_path / "relations.txt"
+    rp.write_text("# comment line\n" + "".join(rel_lines))
+    rel = load_relations(str(rp))
+    out = rpe_relations(np.stack(poses), py["stamps"], rel)
+    assert out["n_used"] == 3
+    assert out["trans_rmse"] < 1e-5 and out["rot_rmse"] < 1e-6
+
+    # a 10 cm x-shift on the second half shows up in the metric
+    shifted = np.stack(poses).copy()
+    shifted[20:, 0] += 0.1
+    out2 = rpe_relations(shifted, py["stamps"], rel)
+    assert 0.05 < out2["trans_rmse"] < 0.2
