@@ -23,9 +23,27 @@ import json
 import numpy as np
 
 
+_NUM_CHARS = frozenset("0123456789+-.eE,")
+_INT_CHARS = frozenset("0123456789+-")
+
+
+def _int(v: str) -> int:
+    """Strict integer token (Python int() accepts '1_000'; the C++
+    grammar does not)."""
+    if not v or not set(v) <= _INT_CHARS:
+        raise ValueError(v)
+    return int(v)
+
+
 def _float(v: str) -> float:
-    """float() accepting a comma decimal separator (logs written under
-    European locales: `1,5` for 1.5 — real-world Radish variance)."""
+    """Strict numeric-token float: plain decimals with an optional comma
+    decimal separator (European-locale logs). Rejects 'nan'/'inf'/
+    underscore-grouped tokens that Python float() accepts but the C++
+    parser's digit grammar does not — the two loaders must make
+    IDENTICAL keep/skip decisions per row (tests/test_native_parser.py
+    parity contract)."""
+    if not v or not set(v) <= _NUM_CHARS:
+        raise ValueError(v)
     try:
         return float(v)
     except ValueError:
@@ -44,7 +62,7 @@ def _parse_flaser(parts, n_beams):
     stamp = the ts field (NaN when absent) — the key the Radish
     relations files reference (metrics.load_relations)."""
     try:
-        n = int(parts[1])
+        n = _int(parts[1])
         if n <= 0 or len(parts) < 2 + n + 3:
             return None
         if n_beams is not None and n != n_beams:
@@ -77,13 +95,13 @@ def _parse_robotlaser1(parts, n_beams):
     forward_safety side_safety turn_axis ts host log_ts` — take the
     ROBOT pose; stamp = ts (5 fields after the robot pose)."""
     try:
-        n = int(parts[8])
+        n = _int(parts[8])
         if n <= 0 or len(parts) < 9 + n + 1:
             return None
         if n_beams is not None and n != n_beams:
             return None
         ranges = [_float(v) for v in parts[9 : 9 + n]]
-        n_rem = int(parts[9 + n])
+        n_rem = _int(parts[9 + n])
         if n_rem < 0 or len(parts) < 10 + n + n_rem + 6:
             return None
         base = 10 + n + n_rem

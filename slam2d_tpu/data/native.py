@@ -29,7 +29,12 @@ def _load_lib(build_if_missing: bool = True):
     if _LIB is not None:
         return _LIB
     so = os.path.join(_native_dir(), "libcarmen_parser.so")
-    if not os.path.exists(so) and build_if_missing:
+    if build_if_missing:
+        # ALWAYS run make (a no-op when fresh): the C ABI has changed
+        # across rounds (round 4 added the stamps output) and a stale
+        # prebuilt .so would silently return uninitialized arrays. A
+        # failed build refuses the native path entirely (the Python
+        # fallback takes over) rather than risk an ABI-mismatched lib.
         subprocess.run(
             ["make", "-C", _native_dir()], check=True, capture_output=True
         )

@@ -438,7 +438,6 @@ def _coarse_graph(g: PoseGraph, cfg: GraphConfig, stride: int,
 
     anchors = jnp.minimum(jnp.arange(Kc) * stride, K - 1)
     # coarse chain z: anchor c -> anchor c+1 = R[last in segment] ⊕ z[last]
-    last = jnp.minimum(anchors[1:] + stride - 1, K - 1)  # = anchors[1:]-1
     last = jnp.minimum((jnp.arange(Kc - 1) + 1) * stride - 1, K - 2)
     zc_chain = se2.compose(R[last], z_chain[last])
     cij = jnp.stack(
@@ -466,18 +465,21 @@ def _coarse_graph(g: PoseGraph, cfg: GraphConfig, stride: int,
     lij = jnp.stack([ca, cb], axis=1)
     om_l = g.edges_omega[idx]
 
+    # active coarse nodes = ceil(n_nodes / stride); chain edges connect
+    # consecutive ACTIVE anchors only — `n_nodes // stride` was an
+    # off-by-one whenever stride | n_nodes with spare capacity: it
+    # activated an edge from the last real anchor to an inactive
+    # zero-pose anchor and corrupted the coarse solve (round-4 review)
+    nc = jnp.minimum((g.n_nodes + stride - 1) // stride, Kc)
     gc = PoseGraph(
         poses=g.poses[anchors],
         node_mask=g.node_mask[anchors],
-        n_nodes=jnp.minimum((g.n_nodes + stride - 1) // stride, Kc),
+        n_nodes=nc,
         edges_ij=jnp.concatenate([cij, lij]),
         edges_z=jnp.concatenate([zc_chain, z_l]),
         edges_omega=jnp.concatenate([omc_chain, om_l]),
         edge_mask=jnp.concatenate(
-            [
-                jnp.arange(Kc - 1) < jnp.maximum(g.n_nodes // stride, 1),
-                valid,
-            ]
+            [jnp.arange(Kc - 1) < nc - 1, valid]
         ),
         n_edges=jnp.int32(Ec),
     )

@@ -96,6 +96,15 @@ def rpe_relations(
     est = np.asarray(est_poses, np.float64)
     ts = np.asarray(stamps, np.float64)
     rel = np.asarray(relations, np.float64)
+    # drop NaN-stamped poses (legacy rows without a ts field): NaN > max_dt
+    # is False, so they would otherwise silently PASS the gate below
+    n = min(len(est), len(ts))
+    finite = np.isfinite(ts[:n])
+    est = est[:n][finite]
+    ts = ts[:n][finite]
+    if len(ts) == 0:
+        return {"trans_rmse": float("nan"), "rot_rmse": float("nan"),
+                "n_used": 0, "n_total": len(rel)}
     order = np.argsort(ts)
     ts_s = ts[order]
     terr, rerr, used = [], [], 0

@@ -347,6 +347,16 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
             # fired) — bench_scaling's d_max histogram (VERDICT r3 item 4)
             k_need = jnp.mod(shard - idx // Pl, n_shards).astype(jnp.int32)
             return new_state, (best_pose, n_eff, best_score, k_need)
+        if carry_n_eff and gates is None:
+            # 4th output = the n_eff to CARRY into the next scan: a
+            # resample resets the weights to uniform, so the carried
+            # value must be P_total, not the pre-resample n_eff (the
+            # reported per-scan n_eff stays the pre-resample value, as
+            # the unsharded path reports it)
+            ne_carry = jnp.where(
+                do_resample, jnp.float32(P_total), n_eff
+            )
+            return new_state, (best_pose, n_eff, best_score, ne_carry)
         return new_state, (best_pose, n_eff, best_score)
 
     state_specs = PFState(
@@ -359,6 +369,12 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
         since_update=P(),
         since_match=P(),
     )
+    assert not (ring_stats and gates is not None), (
+        "ring_stats is only wired for the ungated step form"
+    )
+    assert not (ring_stats and carry_n_eff), (
+        "ring_stats and carry_n_eff use the same 4th output slot"
+    )
     out_specs = (state_specs, (P(None), P(), P()))
     if ring_stats:
         out_specs = (state_specs, (P(None), P(), P(), P(axis)))
@@ -366,6 +382,7 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
     in_specs = (state_specs, P(None), P(None))
     if carry_n_eff and gates is None:
         in_specs = in_specs + (P(),)
+        out_specs = (state_specs, (P(None), P(), P(), P()))
     sharded = jax.shard_map(
         step,
         mesh=mesh,
@@ -376,13 +393,17 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
     return sharded
 
 
+@functools.cache
 def make_sharded_chunk_fn(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
                           axis: str = PARTICLE_AXIS):
     """Jitted lax.scan over the sharded step for a [K, ...] chunk of scans.
 
     The n_eff carry (one normalize per chunk seeds it; refine scans
-    refresh it) lets the step skip the weight collectives on no-refine
-    scans — see make_sharded_step(carry_n_eff=True)."""
+    refresh it, resamples reset it to P) lets the step skip the weight
+    collectives on no-refine scans — see
+    make_sharded_step(carry_n_eff=True). functools.cache'd: fresh jit
+    closures per driver call re-trace AND re-XLA-compile (CLAUDE.md
+    factory rule)."""
     step = make_sharded_step(cfg, pf, mesh, axis, carry_n_eff=True)
 
     norm = jax.shard_map(
@@ -399,7 +420,7 @@ def make_sharded_chunk_fn(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
             s, ne = c
             o, r = inp
             s, out = step(s, o, r, ne)
-            return (s, out[1]), out
+            return (s, out[3]), out[:3]
 
         (state, _), outs = jax.lax.scan(
             body, (state, ne0), (odom_chunk, ranges_chunk)

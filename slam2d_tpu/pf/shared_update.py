@@ -170,7 +170,7 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         # endpoint: the anchor snap displaces the shared carve by up to
         # ~a cell, so without the margin it can cross (and erode) the
         # exact endpoint marks added below
-        shrink = float(getattr(pf, "update_carve_shrink", 1.0))
+        shrink = float(getattr(pf, "update_carve_shrink", 0.0))
         if shrink > 0.0:
             img_ranges = jnp.maximum(ranges - shrink * res, 0.0)
 

@@ -252,3 +252,18 @@ def test_stamps_parity_and_relations_metric(tmp_path):
     shifted[20:, 0] += 0.1
     out2 = rpe_relations(shifted, py["stamps"], rel)
     assert 0.05 < out2["trans_rmse"] < 0.2
+
+
+def test_relations_skip_nan_stamps():
+    """Regression (round-4 review): NaN-stamped poses must be SKIPPED by
+    rpe_relations — NaN > max_dt is False, so without the filter a
+    relation beyond the last finite stamp scored against an arbitrary
+    pose."""
+    from slam2d_tpu.metrics import rpe_relations
+
+    poses = np.zeros((5, 3))
+    poses[:, 0] = np.arange(5)
+    stamps = np.array([10.0, 11.0, 12.0, np.nan, np.nan])
+    rel = np.array([[12.0, 13.0, 1.0, 0.0, 0.0]])   # t2 has no finite pose
+    out = rpe_relations(poses, stamps, rel)
+    assert out["n_used"] == 0

@@ -249,3 +249,38 @@ def test_optimize_hier_4096_nodes():
     assert np.isfinite(out).all()
     assert err_after < err_before / 5.0, (err_before, err_after)
     assert float(chi) < 1.0
+
+
+def test_coarse_graph_stride_divides_n_nodes():
+    """Regression (round-4 review): with n_nodes a multiple of
+    sparse_coarse_stride and spare node capacity — the normal full-SLAM
+    driver case — the coarse graph must NOT activate a chain edge from
+    the last real anchor to an inactive zero-pose anchor."""
+    import dataclasses
+
+    from slam2d_tpu.config import GraphConfig
+    from slam2d_tpu.graph.sparse import _coarse_graph, optimize_hier
+    from slam2d_tpu.graph.se2_graph import HostGraph
+
+    cfg = GraphConfig(max_nodes=64, max_edges=256, gn_iters=10,
+                      sparse_coarse_stride=8, sparse_max_loops=8)
+    g = HostGraph(cfg)
+    # straight 32-node chain along +x, exact measurements
+    import numpy as np_
+
+    for k in range(32):
+        g.add_node(np_.array([float(k), 0.0, 0.0]))
+        if k:
+            g.add_edge(k - 1, k, np_.array([1.0, 0.0, 0.0]),
+                       np_.eye(3) * 100.0)
+    dev = g.to_device()
+    gc, ccfg, anchors = _coarse_graph(dev, cfg, 8, 8)
+    em = np.asarray(gc.edge_mask)
+    # active coarse nodes = ceil(32/8) = 4 -> exactly 3 active chain edges
+    assert em[:7].sum() == 3, em[:7]
+    g2, chi = optimize_hier(dev, cfg)
+    out = np.asarray(g2.poses)[:32]
+    want = np.stack([np.arange(32, dtype=np.float64),
+                     np.zeros(32), np.zeros(32)], axis=1)
+    np.testing.assert_allclose(out, want, atol=1e-3)
+    assert float(chi) < 1e-4
