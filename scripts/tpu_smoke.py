@@ -73,7 +73,13 @@ def main() -> int:
     #    fused field kernel, bf16 maps)
     from slam2d_tpu.run.fastslam_run import run_fastslam
 
-    pf = PFConfig(n_particles=64, map_dtype="bfloat16")
+    # proposal noise matched to the log (the round-4 fine-res study's
+    # headline rule: the library default 0.04/0.02 targets 10x noisier
+    # odometry and measured ATE 0.48 > odom on this log — deterministic,
+    # CPU == chip, and identical before/after the round-4 collective
+    # changes, i.e. mistuned constants, not a kernel/collective gap)
+    pf = PFConfig(n_particles=64, map_dtype="bfloat16",
+                  noise_xy=0.01, noise_theta=0.005)
     _, ptraj, n_eff, _ = run_fastslam(log, cfg, pf, seed=0)
     pf_ate = float(ate_rmse(ptraj, gt, align=False))
     ok &= check("fastslam64_bf16",

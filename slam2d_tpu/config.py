@@ -134,6 +134,14 @@ class PFConfig:
 
     n_particles: int = 32
     # Odometry proposal noise (std-dev) on x, y, theta per step.
+    # TUNE TO THE LOG'S ODOMETRY NOISE — the single most important PF
+    # constant (round-4 fine-res study, chip, 0.05 m/1024^2/P=100 on a
+    # log with 0.004/0.002 odometry noise: proposal 0.02/0.01 -> ATE
+    # 0.446, 0.01/0.005 -> 0.290, 0.005/0.0025 -> 0.213-0.231 (3
+    # seeds), matched 0.004/0.002 -> 0.177; going BELOW the odometry
+    # noise degrades again, 0.002/0.001 -> 0.222). These defaults
+    # target sensor-spec-grade odometry (~0.03-0.05 m/step drift);
+    # benches and parity tests pass log-matched values explicitly.
     noise_xy: float = 0.04
     noise_theta: float = 0.02
     # Per-particle refinement matcher overrides (None = inherit the

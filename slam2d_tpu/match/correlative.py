@@ -131,7 +131,11 @@ def _theta_offsets(mcfg: MatcherConfig) -> np.ndarray:
 
 
 def _resolve_impl(impl: str) -> str:
-    """"auto" = frontend-style single big match (mxu wins on TPU);
+    """"auto" = frontend-style single big match: mxu_int8 on TPU (round
+    4 — the scorer is HBM-bound on its materialized one-hot operands;
+    int8 halves every operand byte: same-session chip A/B 8403 vs 7821
+    scans/s headline at 3-seed ATE parity 0.161/0.722/0.364 vs f32
+    control 0.159/0.727/0.375);
     "auto_refine" = vmapped per-particle refinement (cmx — the Pallas
     shift-correlation kernel — wins: measured 10.1 ms vs emx 12.9 ms vs
     mxu 16.5 ms per FastSLAM-100 refine; it reads E and S once from VMEM
@@ -142,7 +146,7 @@ def _resolve_impl(impl: str) -> str:
 
     if jax.default_backend() != "tpu":
         return "gather"
-    return "cmx" if impl == "auto_refine" else "mxu"
+    return "cmx" if impl == "auto_refine" else "mxu_int8"
 
 
 def score_offsets(
