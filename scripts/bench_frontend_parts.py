@@ -129,7 +129,7 @@ def main():
 
     # ---- match event per impl --------------------------------------------
 
-    for impl in ("mxu", "cmx", "emx"):
+    for impl in ("mxu_int8", "mxu", "cmx", "emx"):
         mcfg = dataclasses.replace(cfg.matcher, score_impl=impl)
 
         def match_once(c, t, mcfg=mcfg):
