@@ -176,23 +176,45 @@ def _record_to_row(rec: dict):
 
 
 def load_json_log(path: str):
-    """Read a preprocessed JSON log (list of records, or dict keyed by time)."""
+    """Read a preprocessed JSON log (list of records, or dict keyed by
+    time). Timestamps come from a per-record "timestamp"/"t"/"ts" field,
+    or — the reference's dict shape — the numeric dict keys; NaN when
+    neither exists, so `--relations` scoring works on preprocessed logs
+    that kept their timing."""
     with open(path) as f:
         data = json.load(f)
+    keys = None
     if isinstance(data, dict):
         if "map" in data and isinstance(data["map"], dict):
             data = data["map"]
-        records = [data[k] for k in sorted(data, key=_num_or_str)]
+        keys = sorted(data, key=_num_or_str)
+        records = [data[k] for k in keys]
     else:
         records = data
-    odoms, scans = [], []
-    for rec in records:
+    odoms, scans, stamps = [], [], []
+    for i, rec in enumerate(records):
         pose, ranges = _record_to_row(rec)
         odoms.append(pose)
         scans.append(ranges)
+        ts = float("nan")
+        # NOT "t": that spelling is a THETA pose key (_XY_KEYS)
+        for kt in ("timestamp", "ts", "time"):
+            if isinstance(rec, dict) and kt in rec:
+                try:
+                    ts = float(rec[kt])
+                    break
+                except (TypeError, ValueError):
+                    pass
+        if np.isnan(ts) and keys is not None:
+            try:
+                ts = float(keys[i])
+            except (TypeError, ValueError):
+                pass
+        stamps.append(ts)
     return {
         "odom": np.asarray(odoms, dtype=np.float32),
         "ranges": np.asarray(scans, dtype=np.float32),
+        "stamps": np.asarray(stamps, dtype=np.float64),
     }
 
 
@@ -225,12 +247,17 @@ def save_json_log(path: str, log: dict) -> str:
     the reference's DataPreprocess step."""
     odom = np.asarray(log["odom"], np.float64)
     ranges = np.asarray(log["ranges"], np.float64)
+    stamps = np.asarray(
+        log.get("stamps", np.arange(len(odom), dtype=np.float64))
+    )
     records = [
         {
             "x": float(odom[t, 0]),
             "y": float(odom[t, 1]),
             "theta": float(odom[t, 2]),
             "range": [float(v) for v in ranges[t]],
+            **({"timestamp": float(stamps[t])}
+               if np.isfinite(stamps[t]) else {}),
         }
         for t in range(len(odom))
     ]
