@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--score-impl", default=None,
                     help="MatcherConfig.score_impl override "
                          "(mxu | mxu_int8 | ... — for scorer A/Bs)")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="scans per device chunk (per-chunk host/tunnel "
+                         "overhead amortizes with larger chunks; the "
+                         "round-8 profile puts it at ~1.5 ms/chunk)")
     args = ap.parse_args()
 
     # CARMEN-like sensor, production-ish grid (51.2 m @ 5 cm cells).
@@ -79,7 +83,7 @@ def main():
             search_xy=0.3, search_theta=0.15, n_theta=13,
             **({"score_impl": args.score_impl} if args.score_impl else {}),
         ),
-        chunk=64,
+        chunk=args.chunk,
         match_min_motion=0.25,   # fine-res tuning (see FrontendConfig note)
     )
 
