@@ -27,9 +27,11 @@ Design notes (measured on v5e, scripts/bench_update.py):
   multiply), boolean or-accumulation replaces where/max chains, and the
   hit test needs NO r_b > 0 guard — misses encode r_hit = -1, making
   |d - r_b| <= 0.75 res unsatisfiable for d >= 0.
-- The loop is unrolled 4x: Mosaic's per-iteration scalar-loop overhead is
-  comparable to the ~12 VPU block ops of one beam (the caller pads the
-  beam tables to a multiple of 4).
+- The loop is unrolled 8x (round-4 chip A/B: frontend hybrid 1.18 ->
+  0.973 ms/update, PF batch 3.27 -> 3.16 ms; 4x was the round-1
+  setting): Mosaic's per-iteration scalar-loop overhead is comparable
+  to the ~12 VPU block ops of one beam (the caller pads the beam
+  tables to the unroll multiple).
 - ANGULAR BEAM-RANGE CLIP: a cell tile subtends a bounded bearing
   interval from the sensor, so most beams cannot touch it. Each kernel
   invocation reduces its tile to three scalars (phi_min, phi_max, d_min),
@@ -61,7 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slam2d_tpu.config import GridConfig, SensorConfig
 
-_UNROLL = 4
+_UNROLL = 8
 
 
 def _atan_01(q):
