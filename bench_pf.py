@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--fuse-light-prefix", type=int, default=None,
                     help="PFConfig.fuse_light_prefix override (0 = unfused "
                          "host-gated dispatch; for same-session A/Bs)")
+    ap.add_argument("--images-f32", action="store_true",
+                    help="PFConfig.update_images_f32 (accuracy A/B)")
     ap.add_argument("--carve-shrink", type=float, default=None,
                     help="PFConfig.update_carve_shrink override")
     ap.add_argument("--snapped-endpoints", action="store_true",
@@ -102,6 +104,7 @@ def main():
         update_bilinear=args.update_bilinear,
         update_qstep_cells=args.update_qstep_cells,
         update_exact_endpoints=not args.snapped_endpoints,
+        update_images_f32=args.images_f32,
         **({"update_carve_shrink": args.carve_shrink}
            if args.carve_shrink is not None else {}),
         **({"fuse_light_prefix": args.fuse_light_prefix}

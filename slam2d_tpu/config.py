@@ -225,6 +225,10 @@ class PFConfig:
     # can. Supersedes update_bilinear/update_subcell (which blur or
     # multiply the image build instead).
     update_exact_endpoints: bool = True
+    # Keep the shared-update image stack f32 past the 4 MB bf16-cast
+    # budget (VMEM gate still applies) — the accuracy A/B knob for the
+    # shared-vs-per-particle residual.
+    update_images_f32: bool = False
     # Cells to pull the exact-endpoint mode's shared carve short of the
     # measured range (protects the exact marks from the snapped carve
     # crossing them; 0 = carve to the standard one-cell stop). Chip A/B

@@ -216,8 +216,12 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         )(slot_theta)                                    # [G, win, win]
 
     # keep the VMEM-resident image stack within budget: bf16 images above
-    # ~4 MB f32 (the increments are a few tenths — bf16 ulp ~2e-3 there)
-    if images.size * 4 > 4 * 2**20:
+    # ~4 MB f32 (the increments are a few tenths — bf16 ulp ~2e-3 there).
+    # update_images_f32 keeps them f32 regardless (the accuracy A/B for
+    # the exact-endpoint residual: at bench shapes the stack is 4.2 MB —
+    # right past the cast boundary)
+    if (images.size * 4 > 4 * 2**20
+            and not bool(getattr(pf, "update_images_f32", False))):
         images = images.astype(jnp.bfloat16)
 
     # ---- per-particle select + shifted add -------------------------------
