@@ -34,9 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--schur", action="store_true",
                    help="block-Schur pose-graph optimizer (full mode)")
     p.add_argument("--optimizer", default=None,
-                   choices=["dense", "schur", "schur_sharded", "sparse",
-                            "hier"],
-                   help="pose-graph optimizer (full mode): dense Cholesky, "
+                   choices=["auto", "dense", "schur", "schur_sharded",
+                            "sparse", "hier"],
+                   help="pose-graph optimizer (full mode): auto (dense to "
+                        "~1k keyframes, hierarchical beyond — the f32 "
+                        "collapse boundary), dense Cholesky, "
                         "block-Schur, mesh-sharded block-Schur over all "
                         "visible devices, matrix-free two-level PCG "
                         "(no dense H — large graphs), or hierarchical "
@@ -71,9 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-theta", type=int, default=13)
     # kernel dispatch overrides (defaults pick per backend/context)
     p.add_argument("--score-impl", default="auto",
-                   choices=["auto", "gather", "mxu", "emx", "pallas"],
-                   help="candidate-scoring kernel (auto: mxu on TPU, "
-                        "gather on CPU; PF refinement auto-picks emx)")
+                   choices=["auto", "gather", "mxu", "mxu_int8", "emx",
+                            "cmx", "pallas"],
+                   help="candidate-scoring kernel (auto: mxu_int8 on TPU, "
+                        "gather on CPU; PF refinement auto-picks cmx)")
     p.add_argument("--update-impl", default="auto",
                    choices=["auto", "sparse", "sparse_mxu", "dense",
                             "pallas", "pallas_ray", "pallas_hybrid"],
@@ -397,7 +400,7 @@ def main(argv=None) -> int:
             if v is not None
         }
         gcfg = GraphConfig(**overrides)
-        optimizer = args.optimizer or ("schur" if args.schur else "dense")
+        optimizer = args.optimizer or ("schur" if args.schur else "auto")
         if args.tiled:
             from slam2d_tpu.run.full_slam_tiled import (
                 fullslam_tiled_ckpt_template, run_full_slam_tiled,

@@ -659,21 +659,28 @@ class LoopCloser:
         with _accept_phase("accept/graph_to_device"):
             dev_graph = self.graph.to_device()
             _accept_sync(dev_graph)
-        if self.optimizer == "schur":
+        optimizer = self.optimizer
+        if optimizer == "auto":
+            # measured on chip (docs/COMPONENTS.md solver table): dense
+            # f32 Cholesky is fastest and exact to ~1k keyframes but
+            # NaNs from the chain's f32 conditioning collapse by ~2k;
+            # the hierarchical solver converges at every K
+            optimizer = "dense" if len(self.kf_poses) <= 1024 else "hier"
+        if optimizer == "schur":
             from slam2d_tpu.graph.schur import optimize_schur
 
             dev_graph, chi = optimize_schur(dev_graph, gcfg, n_blocks=4)
-        elif self.optimizer == "schur_sharded":
+        elif optimizer == "schur_sharded":
             from slam2d_tpu.graph.schur import optimize_schur_sharded
             from slam2d_tpu.parallel.mesh import make_particle_mesh
 
             mesh = make_particle_mesh()
             dev_graph, chi = optimize_schur_sharded(dev_graph, gcfg, mesh)
-        elif self.optimizer == "sparse":
+        elif optimizer == "sparse":
             from slam2d_tpu.graph.sparse import optimize_cg
 
             dev_graph, chi = optimize_cg(dev_graph, gcfg)
-        elif self.optimizer == "hier":
+        elif optimizer == "hier":
             from slam2d_tpu.graph.sparse import optimize_hier
 
             dev_graph, chi = optimize_hier(dev_graph, gcfg)
@@ -782,7 +789,7 @@ def run_full_slam(
     submap_halfwidth: int = 3,
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
-    optimizer: str = "dense",
+    optimizer: str = "auto",
     resume: dict | None = None,
     scan_index_offset: int = 0,
     incremental_rebuild: bool = True,

@@ -218,7 +218,7 @@ def run_full_slam_tiled(
     odom_edge_info: float = 50.0,
     loop_edge_info: float = 200.0,
     drift_margin: float = 2.0,
-    optimizer: str = "dense",
+    optimizer: str = "auto",
     resume: dict | None = None,
     scan_index_offset: int = 0,
     incremental_rebuild: bool = True,
