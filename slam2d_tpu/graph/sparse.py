@@ -85,7 +85,8 @@ from slam2d_tpu.graph.se2_graph import PoseGraph, _edge_blocks, _robust_of
 _seg = functools.partial(jax.ops.segment_sum, indices_are_sorted=False)
 
 
-def _assemble_sparse(poses, g: PoseGraph, robust, damping: float):
+def _assemble_sparse(poses, g: PoseGraph, robust, damping: float,
+                     psum_axis=None):
     """Edge blocks -> (D, O, b, chi, free, blocks) with NO [3K, 3K]
     object.
 
@@ -107,22 +108,31 @@ def _assemble_sparse(poses, g: PoseGraph, robust, damping: float):
         g.node_mask & (jnp.arange(K) > 0)
     ).astype(jnp.float32)
     D = _seg(Hii, ei, num_segments=K) + _seg(Hjj, ej, num_segments=K)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    # projection: clamped nodes get the identity block, their couplings 0
-    D = free[:, None, None] * (D + damping * eye) + (
-        1.0 - free[:, None, None]
-    ) * eye
     fwd = (ej == ei + 1).astype(jnp.float32)[:, None, None]
     rev = (ei == ej + 1).astype(jnp.float32)[:, None, None]
     O = _seg(Hij * fwd, ei, num_segments=K) + _seg(
         jnp.swapaxes(Hij, 1, 2) * rev, ej, num_segments=K
     )
+    b = _seg(bi, ei, num_segments=K) + _seg(bj, ej, num_segments=K)
+    chi = jnp.sum(chi)
+    if psum_axis is not None:
+        # edge-sharded assembly (optimize_cg_sharded): each shard summed
+        # its LOCAL edge slice; reduce over ICI before the (replicated)
+        # projection/damping below
+        D = jax.lax.psum(D, psum_axis)
+        O = jax.lax.psum(O, psum_axis)
+        b = jax.lax.psum(b, psum_axis)
+        chi = jax.lax.psum(chi, psum_axis)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    # projection: clamped nodes get the identity block, their couplings 0
+    D = free[:, None, None] * (D + damping * eye) + (
+        1.0 - free[:, None, None]
+    ) * eye
     free_pair = free[:-1] * free[1:]
     O = O.at[: K - 1].multiply(free_pair[:, None, None])
     O = O.at[K - 1].set(0.0)
-    b = _seg(bi, ei, num_segments=K) + _seg(bj, ej, num_segments=K)
     b = b * free[:, None]
-    return D, O, b, jnp.sum(chi), free, (Hii, Hij, Hjj)
+    return D, O, b, chi, free, (Hii, Hij, Hjj)
 
 
 def _tridiag_factor(D, O):
@@ -183,7 +193,8 @@ def _tridiag_apply(Cinv, O, r):
     return _tridiag_apply_multi(Cinv, O, r[..., None])[..., 0]
 
 
-def _make_matvec(g: PoseGraph, Hii, Hij, Hjj, free, damping: float):
+def _make_matvec(g: PoseGraph, Hii, Hij, Hjj, free, damping: float,
+                 psum_axis=None):
     """Matrix-free projected H V: gather V at edge endpoints, batched
     3x3 block products, segment_sum back; clamped nodes act as identity
     rows. V, HV are [K, 3] or multi-RHS [K, 3, N]."""
@@ -204,6 +215,8 @@ def _make_matvec(g: PoseGraph, Hii, Hij, Hjj, free, damping: float):
             "eab,ebn->ean", Hjj, vj
         )
         y = _seg(yi, ei, num_segments=K) + _seg(yj, ej, num_segments=K)
+        if psum_axis is not None:
+            y = jax.lax.psum(y, psum_axis)
         y = (y + damping * vm) * fm
         y = y + (1.0 - fm) * V
         return y[..., 0] if single else y
@@ -246,7 +259,7 @@ def _coarse_basis_apply(Kc: int, stride: int, K: int):
 
 
 def _make_two_level(g: PoseGraph, Cinv, O, matvec, free, Lmax: int,
-                    stride: int):
+                    stride: int, psum_axis=None):
     """Additive two-level preconditioner M^-1 = T^-1 + W Hc^-1 W^T.
 
     T^-1 (the f32 block-Thomas chain solve) is exact on LOCAL modes —
@@ -269,6 +282,19 @@ def _make_two_level(g: PoseGraph, Cinv, O, matvec, free, Lmax: int,
     idx, valid = _loop_slots(g, Lmax)
     li = g.edges_ij[idx, 0]
     lj = g.edges_ij[idx, 1]
+    if psum_axis is not None:
+        # the preconditioner MUST be identical on every shard (the PCG
+        # vectors are replicated): rebuild the loop-slot selection from
+        # the GLOBAL edge set by gathering each shard's local candidates
+        # and keeping the first Lmax valid (deterministic on all shards)
+        li_all = jax.lax.all_gather(li, psum_axis).reshape(-1)
+        lj_all = jax.lax.all_gather(lj, psum_axis).reshape(-1)
+        v_all = jax.lax.all_gather(valid, psum_axis).reshape(-1)
+        M = v_all.shape[0]
+        order = jnp.argsort(
+            jnp.where(v_all, 0, 1) * (M + 1) + jnp.arange(M)
+        )[:Lmax]
+        li, lj, valid = li_all[order], lj_all[order], v_all[order]
     node_of = jnp.repeat(jnp.concatenate([li, lj]), 3)    # [6L]
     coord_of = jnp.tile(jnp.arange(3), 2 * Lmax)          # [6L]
     uvalid = jnp.repeat(jnp.concatenate([valid, valid]), 3)
@@ -523,3 +549,88 @@ def optimize_hier(g: PoseGraph, cfg: GraphConfig):
     poses1 = jax.vmap(se2.compose)(corr[seg_of], g.poses)
     g1 = g._replace(poses=poses1)
     return optimize_cg(g1, cfg)
+
+
+def optimize_cg_sharded(g: PoseGraph, cfg: GraphConfig, mesh,
+                        axis: str = "particles"):
+    """Edge-sharded distributed form of `optimize_cg` (SURVEY §4.4
+    "distributed reduction", extended to the matrix-free solver family):
+    the EDGE set splits over the mesh, each shard assembles (D, O, b)
+    and applies H from its local slice, and psum reduces over ICI —
+    the [K]-sized node quantities and the preconditioner factor stay
+    replicated (they are bounded by keyframes, not edges, and the PCG
+    vectors must be identical on every shard anyway).
+
+    Returns (graph, chi2), numerically ~= optimize_cg (the psum changes
+    the f32 reduction order of the edge sums)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    E = g.edges_ij.shape[0]
+    pad = (-E) % n_shards
+    if pad:
+        g = g._replace(
+            edges_ij=jnp.concatenate(
+                [g.edges_ij, jnp.zeros((pad, 2), jnp.int32)]
+            ),
+            edges_z=jnp.concatenate(
+                [g.edges_z, jnp.zeros((pad, 3), jnp.float32)]
+            ),
+            edges_omega=jnp.concatenate(
+                [g.edges_omega, jnp.zeros((pad, 3, 3), jnp.float32)]
+            ),
+            edge_mask=jnp.concatenate(
+                [g.edge_mask, jnp.zeros(pad, bool)]
+            ),
+        )
+    Lmax = cfg.sparse_max_loops
+
+    def gn(poses, node_mask, n_nodes, edges_ij, edges_z, edges_omega,
+           edge_mask):
+        g_l = PoseGraph(
+            poses, node_mask, n_nodes, edges_ij, edges_z, edges_omega,
+            edge_mask, jnp.int32(edges_ij.shape[0]),
+        )
+
+        def gn_body(it, carry):
+            p, _ = carry
+            g_it = g_l._replace(poses=p)
+            robust = _robust_of(cfg, it)
+            D, O, b, chi, free, (Hii, Hij, Hjj) = _assemble_sparse(
+                p, g_it, robust, cfg.damping, psum_axis=axis
+            )
+            Cinv = _tridiag_factor(D, O)
+            matvec = _make_matvec(
+                g_it, Hii, Hij, Hjj, free, cfg.damping, psum_axis=axis
+            )
+            # psum_axis makes the preconditioner shard-invariant: the
+            # loop-slot selection all_gathers the shard-local candidates
+            # and every shard keeps the same first-Lmax-valid set
+            precond = _make_two_level(
+                g_it, Cinv, O, matvec, free, Lmax,
+                cfg.sparse_coarse_stride, psum_axis=axis
+            )
+            delta, _res = _pcg(matvec, precond, -b, cfg.sparse_cg_iters)
+            new = p + delta * free[:, None]
+            new = new.at[:, 2].set(se2.wrap_angle(new[:, 2]))
+            return new, chi
+
+        with jax.default_matmul_precision("highest"):
+            poses_out, chi = jax.lax.fori_loop(
+                0, cfg.gn_iters, gn_body, (poses, jnp.float32(0.0))
+            )
+        return poses_out, chi
+
+    sharded = jax.shard_map(
+        gn,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=(P(None), P()),
+        check_vma=False,
+    )
+    poses, chi = jax.jit(sharded)(
+        g.poses, g.node_mask, g.n_nodes, g.edges_ij, g.edges_z,
+        g.edges_omega, g.edge_mask,
+    )
+    return g._replace(poses=poses), chi

@@ -284,3 +284,19 @@ def test_coarse_graph_stride_divides_n_nodes():
                      np.zeros(32), np.zeros(32)], axis=1)
     np.testing.assert_allclose(out, want, atol=1e-3)
     assert float(chi) < 1e-4
+
+
+def test_optimize_cg_sharded_matches_single():
+    """Edge-sharded matrix-free GN (psum-reduced assembly/matvec,
+    shard-invariant preconditioner) == optimize_cg on the 8-virtual-
+    device mesh."""
+    from slam2d_tpu.graph.sparse import optimize_cg_sharded
+    from slam2d_tpu.parallel.mesh import make_particle_mesh
+
+    g, gt, _ = _square_loop_graph(drift=0.15)
+    n = int(g.n_nodes)
+    mesh = make_particle_mesh(8)
+    g_s, chi_s = optimize_cg(g, CFG)
+    g_m, chi_m = optimize_cg_sharded(g, CFG, mesh)
+    assert _pose_diff(g_m.poses[:n], g_s.poses[:n]) < 2e-3
+    assert abs(float(chi_m) - float(chi_s)) < 1e-2 * max(1.0, float(chi_s))
