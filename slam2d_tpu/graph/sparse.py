@@ -295,6 +295,10 @@ def _make_two_level(g: PoseGraph, Cinv, O, matvec, free, Lmax: int,
             jnp.where(v_all, 0, 1) * (M + 1) + jnp.arange(M)
         )[:Lmax]
         li, lj, valid = li_all[order], lj_all[order], v_all[order]
+    # the slot arrays are min(Lmax, edge capacity) long — derive every
+    # size from the ACTUAL count (a graph with max_edges < Lmax
+    # otherwise mismatches the tiled coord/valid arrays)
+    Lmax = int(li.shape[0])
     node_of = jnp.repeat(jnp.concatenate([li, lj]), 3)    # [6L]
     coord_of = jnp.tile(jnp.arange(3), 2 * Lmax)          # [6L]
     uvalid = jnp.repeat(jnp.concatenate([valid, valid]), 3)
