@@ -11,7 +11,8 @@
 //
 // ABI:
 //   carmen_count(path, *n_scans, *n_beams) -> 0 on success
-//   carmen_parse(path, odom[n*3], ranges[n*n_beams], n, n_beams) -> rows
+//   carmen_parse(path, odom[n*3], ranges[n*n_beams], n, n_beams,
+//                stamps[n] /* double*, nullable */) -> rows
 //
 // Row grammar (kept TOKEN-equivalent to the Python loader in
 // slam2d_tpu/data/carmen.py — tests/test_native_parser.py asserts

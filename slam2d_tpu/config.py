@@ -289,6 +289,20 @@ class GraphConfig:
     # benches run 2.5 m).
     loop_max_correction_xy: float = 1.0
     loop_max_correction_theta: float = 0.4
+    # Drift-relative relaxation of the plausibility gate (ADVICE r4): the
+    # fixed bounds above were tuned on two-lap scenarios with modest
+    # drift; on long-drift logs a TRUE first closure implies a correction
+    # proportional to the odometry drift accumulated along the path
+    # between the matched keyframes (since the last closure). The
+    # effective bound is max(fixed, rate * path_length), where
+    # path_length is the keyframe arc length from max(i, last accept) to
+    # k_new — tight in low-drift regimes (the measured precision-1.0
+    # point is unchanged there), scaling with real travel on endurance/
+    # Killian-length excursions so defaults no longer silently reject
+    # long-drift closures. 3%/m xy covers the synth drift model
+    # (sigma_xy 0.02/m, 1.5 sigma) and typical Radish logs; 0 disables.
+    loop_correction_drift_xy: float = 0.03    # m of bound per m travelled
+    loop_correction_drift_theta: float = 0.012  # rad of bound per m
     # Skip loop attempts for this many keyframes after an accepted loop
     # (consecutive keyframes re-close the same loop with little new info).
     loop_cooldown: int = 3

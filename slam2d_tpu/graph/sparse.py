@@ -447,7 +447,6 @@ def _coarse_graph(g: PoseGraph, cfg: GraphConfig, stride: int,
 
     K = g.poses.shape[0]
     Kc = max(2, -(-K // stride))
-    Ec = (Kc - 1) + Lmax
 
     # chain measurement per position: z_chain[k] = z of edge (k, k+1)
     ei, ej = g.edges_ij[:, 0], g.edges_ij[:, 1]
@@ -483,6 +482,11 @@ def _coarse_graph(g: PoseGraph, cfg: GraphConfig, stride: int,
 
     # loop edges -> anchor pairs with re-anchored measurements
     idx, valid = _loop_slots(g, Lmax)
+    # _loop_slots clamps to the graph's edge capacity when E < Lmax —
+    # size Ec from the slots actually returned so n_edges/max_edges
+    # match the concatenated arrays (mirrors the _make_two_level fix)
+    Lmax = int(idx.shape[0])
+    Ec = (Kc - 1) + Lmax
     li, lj = g.edges_ij[idx, 0], g.edges_ij[idx, 1]
     ca = (li // stride).astype(jnp.int32)
     cb = (lj // stride).astype(jnp.int32)
@@ -572,6 +576,7 @@ def optimize_cg_sharded(g: PoseGraph, cfg: GraphConfig, mesh,
     n_shards = mesh.shape[axis]
     E = g.edges_ij.shape[0]
     pad = (-E) % n_shards
+    orig = g  # return the caller's fixed edge capacity, not the padded copy
     if pad:
         g = g._replace(
             edges_ij=jnp.concatenate(
@@ -637,4 +642,4 @@ def optimize_cg_sharded(g: PoseGraph, cfg: GraphConfig, mesh,
         g.poses, g.node_mask, g.n_nodes, g.edges_ij, g.edges_z,
         g.edges_omega, g.edge_mask,
     )
-    return g._replace(poses=poses), chi
+    return orig._replace(poses=poses), chi

@@ -467,6 +467,13 @@ class LoopCloser:
         # flight (the cooldown set at dispatch blocks further attempts).
         self.defer_accept = defer_accept
         self.pending_accept: dict | None = None
+        # last ACCEPTED loop's newer keyframe — anchors the drift-relative
+        # plausibility bound (path length since the estimate was last
+        # pinned). -1 = no closure yet; resume restores it from the
+        # loop records (n_loops > 0 implies records exist).
+        self.last_accept_k = (
+            max(int(r[1]) for r in loop_records) if loop_records else -1
+        )
         # attempts requested while an accept is in flight: issuing them
         # against the pre-correction poses feeds the loop matcher a stale
         # prior (measured on the loop-dense parity log: a ~1 m-stale prior
@@ -604,9 +611,30 @@ class LoopCloser:
                 continue
             if float(margin) < self.gcfg.loop_min_peak_margin:
                 continue
+            # drift-relative plausibility bound: a true closure's
+            # correction scales with the drift accumulated along the path
+            # since the estimate was last pinned (the later of the matched
+            # keyframe and the last accepted closure) — keyframe arc
+            # length is the proxy (ADVICE r4: fixed bounds silently
+            # reject long-drift true loops on endurance-length logs)
+            lo = max(int(a["i"]), self.last_accept_k)
+            travel = 0.0
+            if 0 <= lo < a["k_new"]:
+                seg = np.stack(self.kf_poses[lo: a["k_new"] + 1])
+                travel = float(
+                    np.sum(np.hypot(np.diff(seg[:, 0]), np.diff(seg[:, 1])))
+                )
+            max_xy = max(
+                self.gcfg.loop_max_correction_xy,
+                self.gcfg.loop_correction_drift_xy * travel,
+            )
+            max_th = max(
+                self.gcfg.loop_max_correction_theta,
+                self.gcfg.loop_correction_drift_theta * travel,
+            )
             if (
-                np.hypot(corr[0], corr[1]) > self.gcfg.loop_max_correction_xy
-                or abs(corr[2]) > self.gcfg.loop_max_correction_theta
+                np.hypot(corr[0], corr[1]) > max_xy
+                or abs(corr[2]) > max_th
             ):
                 continue
             attempt[6] = 1.0
@@ -627,6 +655,7 @@ class LoopCloser:
                     _np_compose(Tc, T_acc), np.float32
                 )
             accepted_k = a["k_new"]
+            self.last_accept_k = a["k_new"]
             # sync-equivalent cooldown: keyframes admitted since the
             # accepted one already consumed part of it
             new_cooldown = max(
