@@ -65,7 +65,9 @@ def main() -> int:
     )
     from slam2d_tpu.data.synth import SynthWorld, simulate_log
     from slam2d_tpu.parallel.mesh import make_particle_mesh
-    from slam2d_tpu.pf.sharded import make_sharded_chunk_fn, sharded_fastslam_init
+    from slam2d_tpu.pf.sharded import (
+        _global_log_normalize, make_sharded_chunk_fn, sharded_fastslam_init,
+    )
 
     cfg = FrontendConfig(
         sensor=SensorConfig(n_beams=90, max_range=10.0),
@@ -109,9 +111,11 @@ def main() -> int:
 
         def step(i, log_w, maps):
             def norm(lw):
-                m = jax.lax.pmax(jnp.max(lw), axis)
-                s = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
-                return lw - (m + jnp.log(s))
+                # the REAL normalize (pf/sharded._global_log_normalize):
+                # one packed [3]-stat all_gather since round 5 (was
+                # pmax + 2 sequential psums)
+                lw2, ne = _global_log_normalize(lw, axis)
+                return lw2 + 0.0 * ne
 
             log_w = jax.lax.cond(
                 i % refine_every == 0, norm, lambda lw: lw, log_w
@@ -174,10 +178,8 @@ def main() -> int:
             return many
 
         def norm_step(lw):
-            m = jax.lax.pmax(jnp.max(lw), axis)
-            z = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
-            ne = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * (lw - m))), axis)
-            return (lw - m - jnp.log(z) + 0.0 * ne,)
+            lw2, ne = _global_log_normalize(lw, axis)
+            return (lw2 + 0.0 * ne,)
 
         def cdf_step(lw):
             lw_all = jax.lax.all_gather(lw, axis, tiled=True)
@@ -294,13 +296,18 @@ def main() -> int:
                 x = (jnp.zeros(pf.n_particles, jnp.float32),)
             (y,) = fn(*x)    # compile
             np.asarray(y.ravel()[0])
-            t0 = time.perf_counter()
             reps = max(1, T // cfg.chunk)
-            for _ in range(reps):
-                (y,) = fn(y if cname != "ring_ppermute_hop" else y,)
-            np.asarray(y.ravel()[0])
-            dt = time.perf_counter() - t0
-            us = dt / (reps * cfg.chunk) * 1e6
+            # min-of-5: single-pass timings on this 2-core host carry
+            # scheduler-noise spikes of 2-4x (round-5 finding); the min
+            # is the reproducible cost
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    (y,) = fn(y if cname != "ring_ppermute_hop" else y,)
+                np.asarray(y.ravel()[0])
+                best = min(best, time.perf_counter() - t0)
+            us = best / (reps * cfg.chunk) * 1e6
             per_coll[n][cname] = round(us, 1)
         print(json.dumps({
             "metric": "per_collective_step_cost_us",
@@ -321,11 +328,13 @@ def main() -> int:
             )
             lw, mp = coll_fn(log_w, maps)   # compile
             np.asarray(lw)
-            t0 = time.perf_counter()
-            for _ in range(steps // cfg.chunk):
-                lw, mp = coll_fn(lw, mp)
-            np.asarray(lw)
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(5):   # min-of-5 (scheduler-noise spikes)
+                t0 = time.perf_counter()
+                for _ in range(steps // cfg.chunk):
+                    lw, mp = coll_fn(lw, mp)
+                np.asarray(lw)
+                dt = min(dt, time.perf_counter() - t0)
             if tag == "":
                 coll_rates[n] = steps / dt
             else:
@@ -344,8 +353,14 @@ def main() -> int:
     base = args.devices[0]
     top = max(args.devices)
     eff = rates[top] / rates[base]
-    coll_eff = coll_rates[top] / coll_rates[base]
-    coll_eff_prod = coll_rates_prod[top] / coll_rates_prod[base]
+    # collectives-only efficiency baselines at the FIRST MULTI-device
+    # mesh: with min-of-5 timing (round 5) the n=1 "collectives" are
+    # no-ops and its rate is a degenerate ~25k steps/s baseline that
+    # made the old 1->N ratio meaningless noise; 2->N compares real
+    # collective schedules at growing width.
+    cbase = min(n for n in args.devices if n > 1) if top > 1 else base
+    coll_eff = coll_rates[top] / coll_rates[cbase]
+    coll_eff_prod = coll_rates_prod[top] / coll_rates_prod[cbase]
     print(
         json.dumps(
             {
@@ -395,6 +410,7 @@ def main() -> int:
                 "collectives_production_cadence_efficiency": round(
                     coll_eff_prod, 3
                 ),
+                "collectives_efficiency_base_devices": cbase,
                 "cpu_seconds_per_scan_growth": round(work_growth, 2),
                 "width_growth": top // base,
                 "host_cpu_utilization": {

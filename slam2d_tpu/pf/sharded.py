@@ -92,11 +92,29 @@ def sharded_fastslam_init(
 
 
 def _global_log_normalize(log_w, axis):
-    """Normalize log-weights across all shards; returns (log_w, n_eff)."""
-    m = jax.lax.pmax(jnp.max(log_w), axis)
-    z = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), axis)
+    """Normalize log-weights across all shards; returns (log_w, n_eff).
+
+    ONE collective (VERDICT r4 item 5 — this chain was three SEQUENTIAL
+    scalar collectives: pmax(max), psum(Z), psum(sum w^2), 3629 us/step
+    at the production cadence, the top cost in the per-collective probe):
+    each shard packs its local (max, sum exp(lw-max), sum exp(2(lw-max)))
+    into a [3]-vector and a single tiny all_gather replicates all shard
+    stats; the global logsumexp and N_eff = Z^2/S2 reassemble locally,
+    bit-identically up to f32 reassociation of the shard partials. The
+    tunnel/ICI round trip is latency-bound, not size-bound, so [S,3]
+    floats cost the same as one scalar psum."""
+    # a dead shard (all -inf weights) must contribute 0, not NaN:
+    # keep the local max finite so exp(-inf - m_loc) == 0
+    m_loc = jnp.maximum(jnp.max(log_w), jnp.float32(-1e30))
+    e = jnp.exp(log_w - m_loc)
+    packed = jnp.stack([m_loc, jnp.sum(e), jnp.sum(e * e)])
+    stats = jax.lax.all_gather(packed, axis)          # [n_shards, 3]
+    m = jnp.max(stats[:, 0])
+    sc = jnp.exp(stats[:, 0] - m)
+    z = jnp.sum(stats[:, 1] * sc)
+    s2 = jnp.sum(stats[:, 2] * sc * sc)
     log_w = log_w - m - jnp.log(z)
-    n_eff = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * log_w)), axis)
+    n_eff = (z * z) / s2
     return log_w, n_eff
 
 
