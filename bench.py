@@ -32,6 +32,7 @@ from slam2d_tpu.config import (
 )
 from slam2d_tpu.data.synth import SynthWorld, simulate_log
 from slam2d_tpu.run.frontend import frontend_init, make_chunk_fn
+from slam2d_tpu.utils.calibration import session_calibration
 
 
 def measure_reference_baseline(log, n_prime: int = 30, n_time: int = 3):
@@ -143,6 +144,7 @@ def main():
                 ),
                 "score_impl": _resolve_impl(cfg.matcher.score_impl),
                 "fine_theta_bins": cfg.matcher.fine_theta_bins,
+                "session_calibration": session_calibration(),
             }
         )
     )

@@ -22,6 +22,7 @@ from slam2d_tpu.config import (
 from slam2d_tpu.data.synth import SynthWorld, simulate_log
 from slam2d_tpu.pf.fastslam import fastslam_init
 from slam2d_tpu.run.fastslam_run import make_pf_chunk_fn
+from slam2d_tpu.utils.calibration import session_calibration
 
 REFERENCE_SCANS_PER_SEC = 1.0
 
@@ -176,6 +177,7 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(rate / REFERENCE_SCANS_PER_SEC, 2),
                 **extra,
+                "session_calibration": session_calibration(),
             }
         )
     )

@@ -25,6 +25,7 @@ from slam2d_tpu.config import (
 from slam2d_tpu.data.synth import endurance_log
 from slam2d_tpu.metrics import ate_rmse
 from slam2d_tpu.run.full_slam import run_full_slam
+from slam2d_tpu.utils.calibration import session_calibration
 
 
 def rss_mb() -> float:
@@ -55,7 +56,8 @@ def main():
     T = len(log["odom"])
     gt = log["gt_poses"]
     odom_ate = float(ate_rmse(log["odom"], gt, align=False))
-    print(json.dumps({"scans": T, "odom_ate": round(odom_ate, 3),
+    print(json.dumps({"session_calibration": session_calibration(),
+                      "scans": T, "odom_ate": round(odom_ate, 3),
                       "rss_mb_start": round(rss_mb(), 1)}), flush=True)
     assert T >= 10_000, T
 

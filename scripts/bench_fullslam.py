@@ -34,6 +34,7 @@ from slam2d_tpu.data.synth import SynthWorld, simulate_log
 from slam2d_tpu.grid.tiles import TileConfig
 from slam2d_tpu.metrics import ate_rmse
 from slam2d_tpu.run.full_slam_tiled import run_full_slam_tiled
+from slam2d_tpu.utils.calibration import session_calibration
 
 
 def main():
@@ -82,6 +83,7 @@ def main():
                     "kf_ate_m": round(
                         float(ate_rmse(res.kf_poses, kf_gt, align=False)), 3
                     ),
+                    "session_calibration": session_calibration(),
                 }
             ),
             flush=True,
