@@ -41,11 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _apply_kernel(
     *refs,
-    win, pad, Hm, Wm, l_clamp, out_dtype, bilinear,
+    win, pad, Hm, Wm, l_clamp, out_dtype, bilinear, fused_ep,
 ):
     # operand layout (scalar prefetch first):
-    #   snapped:  ar, ac, slot,         images, maps, out, scratch...
-    #   bilinear: ar, ac, slot, qr, qc, images, maps, out, scratch...
+    #   snapped:  ar, ac, slot,         images, [ep...], maps, out, scratch
+    #   bilinear: ar, ac, slot, qr, qc, images, [ep...], maps, out, scratch
+    # fused_ep inserts ep_r/ep_c/ep_w ([1, Bpad] blocks per particle:
+    # exact endpoint MAP cells + per-beam weights) between images and maps.
     # qr/qc are the sub-cell shift in 1/256-cell units, in [-128, 128).
     # The snapped variant keeps the 3-scalar signature so the production
     # kernel is UNCHANGED by the bilinear addition (an unused scalar-
@@ -55,14 +57,16 @@ def _apply_kernel(
     # input_output_aliases makes out_ref the same buffer, and ALL
     # loads/stores must go through out_ref so the read-modify-write
     # stays coherent.
+    ep_refs = ()
     if bilinear:
         (ar_ref, ac_ref, slot_ref, qr_ref, qc_ref,
-         images_ref, maps_ref, out_ref,
-         load_ref, res_ref, lsem, ssem) = refs
+         images_ref, *rest) = refs
     else:
         (ar_ref, ac_ref, slot_ref,
-         images_ref, maps_ref, out_ref,
-         load_ref, res_ref, lsem, ssem) = refs
+         images_ref, *rest) = refs
+    if fused_ep:
+        ep_refs, rest = tuple(rest[:3]), rest[3:]
+    (maps_ref, out_ref, load_ref, res_ref, lsem, ssem) = rest
     p = pl.program_id(0)
     nP = pl.num_programs(0)
     Rd = win + 2 * pad
@@ -154,8 +158,32 @@ def _apply_kernel(
     # cells die here
     ok = (ri >= offr) & (ri < offr + ext) & (ci >= offc) & (ci < offc + ext)
 
-    y = jnp.clip(x + jnp.where(ok, frame, 0.0), -l_clamp, l_clamp)
-    res_ref[pl.ds(s, 1), :, :] = y.astype(out_dtype)[None]
+    y = jnp.clip(x + jnp.where(ok, frame, 0.0), -l_clamp, l_clamp
+                 ).astype(out_dtype)
+    if fused_ep:
+        # Exact-endpoint occupancy marks fused into the same window
+        # residency (VERDICT r4 item 4): the separate one-hot-matmul
+        # pass cost a second read+write of every particle's window
+        # (~6% of FastSLAM-1000). Numerics mirror the unfused path
+        # (grid/occupancy.endpoint_update + ops/mxu_update.
+        # scatter_add_mxu) op for op: f32 one-hot rows scaled by w,
+        # cast bf16, bf16xbf16->f32 MXU contraction over beams, image
+        # cast to the map dtype, added and clipped in map dtype.
+        ep_r_ref, ep_c_ref, ep_w_ref = ep_refs
+        fr = (ep_r_ref[0] - a8)[:, None]                  # [Bpad, 1]
+        fc = (ep_c_ref[0] - b8)[:, None]
+        w_b = ep_w_ref[0][:, None]                        # [Bpad, 1] f32
+        Bpad = fr.shape[0]
+        ri_b = jax.lax.broadcasted_iota(jnp.int32, (Bpad, Rd), 1)
+        ci_b = jax.lax.broadcasted_iota(jnp.int32, (Bpad, Cd), 1)
+        R1 = ((fr == ri_b).astype(jnp.float32) * w_b).astype(jnp.bfloat16)
+        C1 = (fc == ci_b).astype(jnp.bfloat16)
+        img_ep = jax.lax.dot_general(
+            R1, C1, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [Rd, Cd]
+        y = jnp.clip(y + img_ep.astype(out_dtype), -l_clamp, l_clamp)
+    res_ref[pl.ds(s, 1), :, :] = y[None]
     store(p, s).start()
 
     # drain the last two stores before the kernel retires
@@ -171,6 +199,7 @@ def _apply_kernel(
 def shared_apply_supported(
     Hm: int, Wm: int, win: int, n_images: int = 16,
     image_bytes: int = 4, map_bytes: int = 4, bilinear: bool = True,
+    ep_beams: int = 0,
 ) -> bool:
     """Aligned-DMA covering argument + VMEM budget. The budget must count
     the VMEM-RESIDENT image stack (n_images grows with update_subcell^2
@@ -191,6 +220,9 @@ def shared_apply_supported(
         n_images * win * win * image_bytes
         + 4 * Rd * Cd * map_bytes
         + 3 * Rd * Cd * 4
+        # fused exact-endpoint pass: bf16 one-hot row/col matrices +
+        # the f32 endpoint image (ep_beams already 128-padded)
+        + ep_beams * (Rd + Cd) * 2 + (Rd * Cd * 4 if ep_beams else 0)
     )
     return (
         Hm % 8 == 0 and Wm % 128 == 0 and Hm >= Rd and Wm >= Cd
@@ -212,6 +244,9 @@ def shared_apply_update(
     l_clamp: float,
     interpret: bool = False,
     frac_rc=None,
+    ep_rows=None,
+    ep_cols=None,
+    ep_w=None,
 ):
     """In-place windowed add of per-slot update images into particle maps.
 
@@ -228,6 +263,11 @@ def shared_apply_update(
         anchor + frac instead of snapping to the anchor cell — the
         increment's centroid sits exactly at the particle's position
         (first-order-exact translation; VERDICT r2 item 3).
+      ep_rows/ep_cols/ep_w: optional [P, Bpad] exact-endpoint MAP cells
+        (int32) + per-beam weights (f32, 0 = masked; Bpad a multiple of
+        128): fuses the exact-endpoint occupancy pass into the same
+        window residency (numerics == the separate endpoint_update
+        pass; pad beams with w=0).
     Returns:
       [P, Hm, Wm] updated maps (same buffer).
     """
@@ -235,6 +275,7 @@ def shared_apply_update(
     G = images.shape[0]
     pad = 8
     bilinear = frac_rc is not None
+    fused_ep = ep_rows is not None
     if not shared_apply_supported(Hm, Wm, win, bilinear=bilinear):
         raise ValueError(f"shared apply unsupported: {Hm}x{Wm}, win {win}")
     Rd = win + 2 * pad
@@ -243,15 +284,28 @@ def shared_apply_update(
         _apply_kernel,
         win=win, pad=pad, Hm=Hm, Wm=Wm,
         l_clamp=float(l_clamp), out_dtype=maps.dtype, bilinear=bilinear,
+        fused_ep=fused_ep,
     )
     n_scalars = 5 if bilinear else 3
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # images, resident
+    ]
+    ep_operands = []
+    if fused_ep:
+        Bpad = ep_rows.shape[1]
+        assert Bpad % 128 == 0, "pad beams to a multiple of 128"
+        # one [1, Bpad] block per grid program (pipelined by pallas)
+        ep_spec = pl.BlockSpec((1, Bpad), lambda p, *_: (p, 0))
+        in_specs += [ep_spec, ep_spec, ep_spec]
+        ep_operands = [
+            ep_rows.astype(jnp.int32), ep_cols.astype(jnp.int32),
+            ep_w.astype(jnp.float32),
+        ]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)]   # maps stay in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalars,
         grid=(P,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # images, resident
-            pl.BlockSpec(memory_space=pl.ANY),        # maps stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, Rd, Cd), maps.dtype),      # load slots
@@ -268,11 +322,12 @@ def shared_apply_update(
             jnp.clip(frac_rc, -0.5, 0.4999) * 256.0
         ).astype(jnp.int32)                           # [P, 2] in [-128, 128)
         operands += [q[:, 0], q[:, 1]]
+    # maps operand index (for aliasing): scalars + images + ep operands
+    maps_idx = n_scalars + 1 + len(ep_operands)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, Hm, Wm), maps.dtype),
-        # maps operand (after the scalars + images) aliases the output
-        input_output_aliases={n_scalars + 1: 0},
+        input_output_aliases={maps_idx: 0},
         interpret=interpret,
-    )(*operands, images, maps)
+    )(*operands, images, *ep_operands, maps)

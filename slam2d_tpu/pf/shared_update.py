@@ -255,20 +255,36 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
             return out
         return _exact_endpoint_pass(out, poses, anchors, ranges, cfg, pf)
 
+    # Fused exact-endpoint pass (VERDICT r4 item 4): the occupancy marks
+    # ride the apply kernel's window residency — the separate pass cost a
+    # second read+write of every particle's window. Numerics mirror the
+    # unfused path op for op (ops/pallas_apply._apply_kernel docnote).
+    fuse_ep = exact_ep and bool(getattr(pf, "update_fused_endpoints", True))
+    B = ranges.shape[-1]
+    Bpad = ((B + 127) // 128) * 128
     if shared_apply_supported(
         Hg, Wg, win,
         n_images=G,
         image_bytes=images.dtype.itemsize,
         map_bytes=logodds.dtype.itemsize,
         bilinear=bilinear,
+        ep_beams=Bpad if fuse_ep else 0,
     ):
+        ep_kw = {}
+        if fuse_ep:
+            ep_r, ep_c, ep_w = _endpoint_operands(
+                poses, anchors, ranges, cfg, win, Hg, Wg, Bpad
+            )
+            ep_kw = dict(ep_rows=ep_r, ep_cols=ep_c, ep_w=ep_w)
         # one read + one write of each particle's window, images VMEM-
         # resident, in-place on the donated map stack (module docstring)
-        return finish(shared_apply_update(
+        out = shared_apply_update(
             logodds, anchors, slot, images, win, float(gcfg.l_clamp),
             interpret=jax.default_backend() != "tpu",
             frac_rc=frac_rc,
-        ))
+            **ep_kw,
+        )
+        return out if fuse_ep else finish(out)
 
     # XLA fallback (small/odd map shapes): slot select as a one-hot
     # matmul (G is tiny; a big-row gather would serialize on TPU)
@@ -322,6 +338,50 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         )
         return finish(out.reshape(P, Hg, Wg))
     return finish(jax.vmap(apply)(logodds, anchors, imgs_p))
+
+
+def _endpoint_operands(poses, anchors, ranges, cfg: FrontendConfig,
+                       win: int, Hg: int, Wg: int, Bpad: int):
+    """Per-particle exact-endpoint MAP cells + weights for the fused
+    Pallas apply — the masking mirrors grid/occupancy.endpoint_update
+    at the unfused pass's window (origin = window_origin(anchor, win)):
+    only hits (min_range < r < max_range) INSIDE that win x win region
+    carry weight l_occ; everything else is w = 0 (incl. the beam pad)."""
+    from slam2d_tpu.grid.occupancy import beam_angles
+    from slam2d_tpu.grid.window import window_origin
+
+    gcfg = cfg.grid
+    sensor = cfg.sensor
+    res = gcfg.resolution
+    r = ranges.astype(jnp.float32)                      # [B], shared
+    valid = (r > sensor.min_range) & jnp.isfinite(r)
+    hit = valid & (r < sensor.max_range)
+    r_clip = jnp.clip(r, 0.0, sensor.max_range)
+    base = beam_angles(sensor)
+
+    def one(pose, anchor):
+        angles = base + pose[2]
+        ex = pose[0] + jnp.cos(angles) * r_clip
+        ey = pose[1] + jnp.sin(angles) * r_clip
+        ecol = jnp.floor((ex - gcfg.origin_x) / res).astype(jnp.int32)
+        erow = jnp.floor((ey - gcfg.origin_y) / res).astype(jnp.int32)
+        r0, c0 = window_origin(anchor, win, Hg, Wg)
+        e_in = (
+            (erow >= r0) & (erow < r0 + win)
+            & (ecol >= c0) & (ecol < c0 + win)
+        )
+        w = jnp.where(hit & e_in, jnp.float32(gcfg.l_occ), 0.0)
+        # clip like endpoint_update does (w = 0 rows never contribute)
+        erow = jnp.clip(erow, 0, Hg - 1)
+        ecol = jnp.clip(ecol, 0, Wg - 1)
+        padn = Bpad - erow.shape[0]
+        return (
+            jnp.pad(erow, (0, padn)),
+            jnp.pad(ecol, (0, padn)),
+            jnp.pad(w, (0, padn)),
+        )
+
+    return jax.vmap(one)(poses, anchors)
 
 
 def _exact_endpoint_pass(logodds, poses, anchors, ranges,

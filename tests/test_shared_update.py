@@ -340,3 +340,39 @@ def test_exact_endpoints_match_per_particle_marks():
         err_exact = np.abs(vals - vals_per).mean()
         err_snap = np.abs(vals_snap - vals_per).mean()
         assert err_exact < 0.5 * err_snap, (err_exact, err_snap)
+
+
+def test_fused_endpoints_match_separate_pass():
+    """The in-kernel fused exact-endpoint pass (ops/pallas_apply
+    fused_ep) must reproduce the separate _exact_endpoint_pass. On the
+    bf16 production dtype the two are BIT-identical (both add
+    bf16-quantized l_occ marks). On f32 maps a small tolerance covers a
+    CPU-only dispatch difference: the unfused endpoint_update picks the
+    exact-scatter accumulator on CPU while the fused kernel always uses
+    the bf16 one-hot MXU contraction — on TPU both use the mxu form."""
+    cfg = dataclasses.replace(
+        CFG,
+        grid=dataclasses.replace(
+            CFG.grid, height=512, width=512, center_x=25.0, center_y=25.0
+        ),
+    )
+    P = 6
+    rng = np.random.default_rng(3)
+    poses = np.tile(np.array([[25.0, 25.0, 0.2]], np.float32), (P, 1))
+    poses[:, :2] += rng.normal(0, 0.3, (P, 2))
+    poses[:, 2] += rng.normal(0, 0.08, P)
+    r = rng.uniform(0.5, 7.5, CFG.sensor.n_beams).astype(np.float32)
+    r[::5] = CFG.sensor.max_range          # no-hit beams stay masked
+    maps0 = rng.normal(0, 0.5, (P, 512, 512)).astype(np.float32)
+    for dtype, tol in ((jnp.bfloat16, 0.0), (jnp.float32, 5e-3)):
+        pf_f = PFConfig(n_particles=P, update_fused_endpoints=True)
+        pf_u = PFConfig(n_particles=P, update_fused_endpoints=False)
+        out_f = np.asarray(shared_update(
+            jnp.asarray(maps0, dtype), jnp.asarray(poses),
+            jnp.asarray(r), cfg, pf_f)).astype(np.float32)
+        out_u = np.asarray(shared_update(
+            jnp.asarray(maps0, dtype), jnp.asarray(poses),
+            jnp.asarray(r), cfg, pf_u)).astype(np.float32)
+        assert np.abs(out_f - out_u).max() <= tol, dtype
+        # and the marks are actually there (not a no-op fused path)
+        assert np.abs(out_f - maps0).max() > 0.5
