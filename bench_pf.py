@@ -62,6 +62,9 @@ def main():
                     help="disable update_exact_endpoints (the round-4 "
                          "xy-quantization fix) for A/Bs against the "
                          "round-3 snapped shared update")
+    ap.add_argument("--anchor-dither", default=None,
+                    help="PFConfig.update_anchor_dither (off|random) -- "
+                         "carve-anchor decorrelation A/B")
     ap.add_argument("--update-qstep-cells", type=float, default=0.5,
                     help="shared-update rotation quantization target in "
                          "cells at max range (PFConfig.update_qstep_cells; "
@@ -108,6 +111,8 @@ def main():
         update_images_f32=args.images_f32,
         **({"update_carve_shrink": args.carve_shrink}
            if args.carve_shrink is not None else {}),
+        **({"update_anchor_dither": args.anchor_dither}
+           if args.anchor_dither is not None else {}),
         **({"fuse_light_prefix": args.fuse_light_prefix}
            if args.fuse_light_prefix is not None else {}),
         **noise,

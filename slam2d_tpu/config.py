@@ -233,6 +233,16 @@ class PFConfig:
     # unfused pass op for op; applies only on the Pallas apply path
     # (the XLA fallback keeps the separate pass).
     update_fused_endpoints: bool = True
+    # Anchor dithering for the shared update's free-space carve (the
+    # exact-endpoint marks never snap): "random" adds an independent
+    # uniform(-res/2, res/2) per-particle offset to the ANCHOR choice at
+    # every update event, decorrelating the carve's translation snap
+    # across particles and time — after a resample the cloud collapses
+    # to near one cell, so without dither every particle's map carries
+    # the SAME snap-error history and the ensemble cannot average it out
+    # (the round-4 residual's "slot-boundary chaos" suspect). "off"
+    # keeps the deterministic snap.
+    update_anchor_dither: str = "off"
     # Keep the shared-update image stack f32 past the 4 MB bf16-cast
     # budget (VMEM gate still applies) — the accuracy A/B knob for the
     # shared-vs-per-particle residual.

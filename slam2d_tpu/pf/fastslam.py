@@ -258,11 +258,12 @@ def _refine_all(state_logodds, ranges, priors, cfg, pf):
     return batched(state_logodds, priors)
 
 
-def _update_all(logodds, poses, ranges, cfg, pf):
+def _update_all(logodds, poses, ranges, cfg, pf, rng=None):
     """The map-update computation shared by fastslam_step and the
     host-gated heavy step. PFConfig.update_mode picks the batching:
     shared-anchor images (TPU, large P) or the vmapped per-particle
-    kernel."""
+    kernel. `rng` (the step's carried key, NOT consumed — a fold_in
+    side-stream) feeds the optional carve anchor dither."""
     P = pf.n_particles
     mode = pf.update_mode
     if mode == "auto":
@@ -275,7 +276,13 @@ def _update_all(logodds, poses, ranges, cfg, pf):
     if mode == "shared":
         from slam2d_tpu.pf.shared_update import shared_update
 
-        return shared_update(logodds, poses, ranges, cfg, pf)
+        dither_key = None
+        if (rng is not None
+                and getattr(pf, "update_anchor_dither", "off") != "off"):
+            dither_key = jax.random.fold_in(rng, 0x0D17)
+        return shared_update(
+            logodds, poses, ranges, cfg, pf, dither_key=dither_key
+        )
     if mode in ("quantized_per_particle", "quantized_theta_only",
                 "quantized_xy_only"):
         # diagnostic A/B for the shared-update ATE gap: the EXACT
@@ -346,7 +353,8 @@ def make_heavy_step(cfg: FrontendConfig, pf: PFConfig, refine: bool,
 
         since = state.since_update + step_len
         if update:
-            logodds = _update_all(state.logodds, poses, ranges, cfg, pf)
+            logodds = _update_all(state.logodds, poses, ranges, cfg, pf,
+                                   rng=state.rng)
             since = jnp.float32(0.0)
         else:
             logodds = state.logodds
@@ -598,7 +606,8 @@ def fastslam_step(state: PFState, odom, ranges, cfg: FrontendConfig, pf: PFConfi
         # chunked like the refinement: the TPU matmul-accumulation update
         # materializes ~13 MB of one-hot operands per particle — unchunked
         # at 1000+ particles that exceeds HBM
-        return _update_all(state.logodds, poses, ranges, cfg, pf)
+        return _update_all(state.logodds, poses, ranges, cfg, pf,
+                           rng=state.rng)
 
     logodds = jax.lax.cond(
         do_update, update_branch, lambda _: state.logodds, None

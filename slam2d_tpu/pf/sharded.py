@@ -230,14 +230,16 @@ def make_sharded_step(cfg: FrontendConfig, pf: PFConfig, mesh: Mesh,
             logodds = jax.lax.cond(
                 do_update,
                 lambda _: _update_all(
-                    state.logodds, poses, ranges, cfg, pf_local
+                    state.logodds, poses, ranges, cfg, pf_local,
+                    rng=state.rng,
                 ),
                 lambda _: state.logodds,
                 None,
             )
             since = jnp.where(do_update, 0.0, since)
         elif g_update:
-            logodds = _update_all(state.logodds, poses, ranges, cfg, pf_local)
+            logodds = _update_all(state.logodds, poses, ranges, cfg,
+                                   pf_local, rng=state.rng)
             since = jnp.float32(0.0)
         else:
             logodds = state.logodds

@@ -106,7 +106,7 @@ def quantize_update_poses(poses, cfg: FrontendConfig, pf: PFConfig,
 
 
 def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
-                  pf: PFConfig):
+                  pf: PFConfig, dither_key=None):
     """Update every particle's map with one scan (module docstring).
 
     logodds: [P, H, W]; poses: [P, 3]. Returns updated [P, H, W].
@@ -188,7 +188,22 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     # image-build cost). The particle picks the sub-cell of its pose's
     # fraction within the anchor cell.
     Q = int(getattr(pf, "update_subcell", 1))
-    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(poses)
+    # random anchor dither (config.update_anchor_dither docstring): the
+    # CARVE's anchor choice gets an independent per-particle half-cell
+    # offset so its translation snap decorrelates across particles/time;
+    # snapped mode only (subcell/bilinear place sub-cell themselves, and
+    # their frac math assumes the undithered anchor)
+    anchor_src = poses
+    if (dither_key is not None
+            and getattr(pf, "update_anchor_dither", "off") == "random"
+            and Q == 1 and not bool(getattr(pf, "update_bilinear", False))):
+        u = jax.random.uniform(
+            dither_key, (P, 2), minval=-0.5, maxval=0.5
+        ) * res
+        anchor_src = jnp.concatenate(
+            [poses[:, :2] + u, poses[:, 2:]], axis=1
+        )
+    anchors = jax.vmap(lambda pr: world_to_cell(pr[:2], gcfg))(anchor_src)
     if Q > 1:
         centers = jax.vmap(lambda a: cell_center_world(a, gcfg))(anchors)
         frac = (poses[:, :2] - centers) / res            # [-0.5, 0.5) per axis
