@@ -102,26 +102,6 @@ def main():
     chunk_fn = make_chunk_fn(cfg)
     state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
 
-    # OFFLINE single-dispatch mode (round 5): the whole pre-staged log in
-    # ONE device program — the streaming loop's ~1.5 ms/chunk host/tunnel
-    # overhead vanishes and throughput sits at the device floor. Bit-
-    # identical outputs to the streaming loop (tests). The bench inputs
-    # were already fully pre-staged, so this is the honest headline for
-    # the offline-mapping workload; the streaming number is reported
-    # alongside as streaming_scans_per_sec.
-    from slam2d_tpu.run.frontend import make_offline_fn
-
-    offline_fn = make_offline_fn(cfg)
-    od_full = odom[:T]
-    rg_full = ranges[:T]
-    st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
-    st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)  # compile
-    np.asarray(tr_off)
-    st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
-    t0 = time.perf_counter()
-    st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)
-    np.asarray(tr_off)
-    offline_sps = T / (time.perf_counter() - t0)
 
     # Pre-stage the chunk inputs on device (the double-buffered input
     # prefetch any production feeder does): per-chunk jnp.asarray enqueues
@@ -146,6 +126,34 @@ def main():
     dt = time.perf_counter() - t0
 
     scans_per_sec = done / dt
+
+    # OFFLINE single-dispatch secondary metric (round 5): the whole log
+    # in ONE device program. MEASURED SLOWER than the streaming loop on
+    # the remote chip (~156 vs ~118 us/scan at the bench log length):
+    # the streaming dispatches pipeline, so the device is already
+    # saturated and the chunk loop's wall time IS device time; the long
+    # single scan program itself runs ~30% slower per iteration (XLA
+    # carry/scheduling overhead in kilo-iteration scans). Kept as an API
+    # mode (bit-identical outputs, single dispatch — useful for
+    # embedding) and reported for tracking.
+    from slam2d_tpu.run.frontend import make_offline_fn
+
+    offline_fn = make_offline_fn(cfg)
+    od_full = odom[:T]
+    rg_full = ranges[:T]
+    st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
+    st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)  # compile
+    np.asarray(tr_off)
+    best = float("inf")
+    for _ in range(3):   # min-of-3: the first post-compile run measures
+        st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
+        t0 = time.perf_counter()
+        st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)
+        np.asarray(tr_off)
+        rep = time.perf_counter() - t0
+        print(f"# offline rep {rep*1e3:.1f} ms", flush=True)
+        best = min(best, rep)
+    offline_sps = T / best
     ref_sps = measure_reference_baseline(log)
     # report the kernels that actually ran (VERDICT r2 weak item 3: the
     # round-2 headline was ambiguous about which update_impl produced it)
@@ -156,11 +164,11 @@ def main():
         json.dumps(
             {
                 "metric": "frontend_scans_per_sec",
-                "value": round(offline_sps, 2),
+                "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
-                "vs_baseline": round(offline_sps / ref_sps, 2),
-                "mode": "offline_single_dispatch",
-                "streaming_scans_per_sec": round(scans_per_sec, 2),
+                "vs_baseline": round(scans_per_sec / ref_sps, 2),
+                "mode": "streaming",
+                "offline_scans_per_sec": round(offline_sps, 2),
                 "reference_scans_per_sec": round(ref_sps, 3),
                 "update_impl": resolve_update_impl(
                     cfg.grid, cfg.sensor, "frontend"
