@@ -383,6 +383,16 @@ class GraphConfig:
     # clusters the spectrum (chain modes ~1, loop outliers deflated);
     # measured: 48 converges the 4096-node serpentine to solver noise.
     sparse_cg_iters: int = 48
+    # optimize_hier recursion threshold: coarsen by sparse_coarse_stride
+    # until the anchor chain fits an ACCURATE f32 dense Cholesky (the
+    # measured collapse boundary is ~1-2k nodes), so the total
+    # coarsening factor stride^depth adapts to K automatically — one
+    # level to ~16k keyframes, two levels to ~256k (round 5).
+    hier_dense_max: int = 1024
+    # Full V-cycles optimize_hier runs (>1 re-coarsens from the improved
+    # iterate; see bench_hier_floor.py for the measured err-vs-cycles
+    # table that set the default).
+    sparse_hier_cycles: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

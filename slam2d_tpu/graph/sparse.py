@@ -541,22 +541,47 @@ def optimize_hier(g: PoseGraph, cfg: GraphConfig):
     from slam2d_tpu.graph.se2_graph import optimize as optimize_dense
 
     stride = cfg.sparse_coarse_stride
-    K = g.poses.shape[0]
-    gc, ccfg, anchors = _coarse_graph(
-        g, cfg, stride, cfg.sparse_max_loops
-    )
-    gc2, _chi_c = optimize_dense(gc, ccfg)
-    # prolong: left-transform each segment rigidly with its anchor's
-    # correction corr_c = X'_a ⊕ X_a^-1
-    corr = jax.vmap(
-        lambda new, old: se2.compose(new, se2.inverse(old))
-    )(gc2.poses, g.poses[anchors])
-    seg_of = jnp.minimum(
-        jnp.arange(K) // stride, corr.shape[0] - 1
-    )
-    poses1 = jax.vmap(se2.compose)(corr[seg_of], g.poses)
-    g1 = g._replace(poses=poses1)
-    return optimize_cg(g1, cfg)
+    dense_max = int(getattr(cfg, "hier_dense_max", 1024))
+    cycles = max(1, int(getattr(cfg, "sparse_hier_cycles", 1)))
+
+    def vcycle(g_l: PoseGraph, cfg_l: GraphConfig):
+        """Recursive V-cycle (round 5): coarsen until the anchor chain is
+        small enough for an ACCURATE f32 dense Cholesky (<= hier_dense_max
+        nodes — the measured f32 collapse boundary is ~1-2k, so the
+        threshold IS the condition-driven stride selection: total
+        coarsening factor stride^depth adapts to K with no manual
+        tuning), then prolong + PCG-polish on the way back down at EVERY
+        level — intermediate-level polish transports loop corrections that
+        a single fine-level polish from a K/stride-coarse start cannot
+        (the round-4 single-level form left err 0.057 at K=4096). Shapes
+        are static per level, so the Python recursion traces once."""
+        K_l = g_l.poses.shape[0]
+        if K_l <= dense_max:
+            g2, chi = optimize_dense(g_l, cfg_l)
+            return g2, chi
+        gc, ccfg, anchors = _coarse_graph(
+            g_l, cfg_l, stride, cfg_l.sparse_max_loops
+        )
+        gc2, _chi_c = vcycle(gc, ccfg)
+        # prolong: left-transform each segment rigidly with its anchor's
+        # correction corr_c = X'_a ⊕ X_a^-1
+        corr = jax.vmap(
+            lambda new, old: se2.compose(new, se2.inverse(old))
+        )(gc2.poses, g_l.poses[anchors])
+        seg_of = jnp.minimum(
+            jnp.arange(K_l) // stride, corr.shape[0] - 1
+        )
+        poses1 = jax.vmap(se2.compose)(corr[seg_of], g_l.poses)
+        return optimize_cg(g_l._replace(poses=poses1), cfg_l)
+
+    out, chi = vcycle(g, cfg)
+    for _ in range(cycles - 1):
+        # extra V-cycles re-coarsen from the improved iterate: the coarse
+        # measurements re-anchor on the current poses, so global modes
+        # that the first cycle's f32 coarse solve left behind get a
+        # second pass (sparse_hier_cycles; measured in bench_hier_floor)
+        out, chi = vcycle(out, cfg)
+    return out, chi
 
 
 def optimize_cg_sharded(g: PoseGraph, cfg: GraphConfig, mesh,
