@@ -62,6 +62,9 @@ def main():
                     help="disable update_exact_endpoints (the round-4 "
                          "xy-quantization fix) for A/Bs against the "
                          "round-3 snapped shared update")
+    ap.add_argument("--unfused-endpoints", action="store_true",
+                    help="disable the in-kernel fused endpoint pass "
+                         "(PFConfig.update_fused_endpoints=False) for A/Bs")
     ap.add_argument("--anchor-dither", default=None,
                     help="PFConfig.update_anchor_dither (off|random) -- "
                          "carve-anchor decorrelation A/B")
@@ -108,6 +111,7 @@ def main():
         update_bilinear=args.update_bilinear,
         update_qstep_cells=args.update_qstep_cells,
         update_exact_endpoints=not args.snapped_endpoints,
+        update_fused_endpoints=not args.unfused_endpoints,
         update_images_f32=args.images_f32,
         **({"update_carve_shrink": args.carve_shrink}
            if args.carve_shrink is not None else {}),

@@ -91,6 +91,7 @@ def main():
     ap.add_argument("--map-dtype", default="bfloat16")
     ap.add_argument("--variants", nargs="+",
                     default=["none", "update", "refine", "all"])
+    ap.add_argument("--unfused-endpoints", action="store_true")
     ap.add_argument("--update-mode", default="auto",
                     help="PFConfig.update_mode override "
                          "(auto|shared|per_particle|quantized_per_particle)")
@@ -109,6 +110,7 @@ def main():
     pf = PFConfig(
         n_particles=args.particles, map_dtype=args.map_dtype,
         refine_chunk=args.refine_chunk, update_mode=args.update_mode,
+        update_fused_endpoints=not args.unfused_endpoints,
     )
     world = SynthWorld.box_rooms(20.0)
     wp = np.array(

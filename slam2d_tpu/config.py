@@ -321,6 +321,15 @@ class GraphConfig:
     # (sigma_xy 0.02/m, 1.5 sigma) and typical Radish logs; 0 disables.
     loop_correction_drift_xy: float = 0.03    # m of bound per m travelled
     loop_correction_drift_theta: float = 0.012  # rad of bound per m
+    # Post-solve consistency prune: after each accepted-loop optimize,
+    # loop edges whose whitened residual^2 at the CONVERGED solution
+    # exceeds this are disabled permanently and the graph re-solved
+    # (round-5 endurance diagnosis: two corridor-aliased closures passed
+    # every accept gate — scores 0.68/0.79, healthy peak margins — and
+    # DCS only attenuated them; their converged chi^2 was ~14 vs ~0.014
+    # for true edges, a 1000x separation, so a 3-sigma gate at 9 removes
+    # them with enormous headroom). 0 disables.
+    loop_prune_chi2: float = 9.0
     # Skip loop attempts for this many keyframes after an accepted loop
     # (consecutive keyframes re-close the same loop with little new info).
     loop_cooldown: int = 3

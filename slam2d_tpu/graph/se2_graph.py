@@ -284,6 +284,23 @@ def _gn_iterate(poses, H, b, node_mask, cfg: GraphConfig, K: int):
     return new.at[:, 2].set(se2.wrap_angle(new[:, 2]))
 
 
+@jax.jit
+def edge_chi2s(poses, g: PoseGraph):
+    """Per-edge whitened residual^2 e^T Omega e at `poses` (masked edges
+    report 0) — the post-solve consistency statistic the chi-prune gate
+    reads: at a converged solution a corridor-aliased loop edge measured
+    ~14 where true edges sit at ~0.014 (round-5 endurance diagnosis)."""
+
+    def one(idx_i, idx_j, z, omega, m):
+        e = se2.error_se2(poses[idx_i], poses[idx_j], z)
+        return m.astype(jnp.float32) * (e @ omega @ e)
+
+    return jax.vmap(one)(
+        g.edges_ij[:, 0], g.edges_ij[:, 1], g.edges_z, g.edges_omega,
+        g.edge_mask,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize(g: PoseGraph, cfg: GraphConfig):
     """Run cfg.gn_iters Gauss-Newton iterations; returns (graph, chi2)."""

@@ -170,9 +170,9 @@ def _apply_kernel(
         # cast bf16, bf16xbf16->f32 MXU contraction over beams, image
         # cast to the map dtype, added and clipped in map dtype.
         ep_r_ref, ep_c_ref, ep_w_ref = ep_refs
-        fr = (ep_r_ref[0] - a8)[:, None]                  # [Bpad, 1]
-        fc = (ep_c_ref[0] - b8)[:, None]
-        w_b = ep_w_ref[0][:, None]                        # [Bpad, 1] f32
+        fr = (ep_r_ref[0, 0] - a8)[:, None]               # [Bpad, 1]
+        fc = (ep_c_ref[0, 0] - b8)[:, None]
+        w_b = ep_w_ref[0, 0][:, None]                     # [Bpad, 1] f32
         Bpad = fr.shape[0]
         ri_b = jax.lax.broadcasted_iota(jnp.int32, (Bpad, Rd), 1)
         ci_b = jax.lax.broadcasted_iota(jnp.int32, (Bpad, Cd), 1)
@@ -294,12 +294,18 @@ def shared_apply_update(
     if fused_ep:
         Bpad = ep_rows.shape[1]
         assert Bpad % 128 == 0, "pad beams to a multiple of 128"
-        # one [1, Bpad] block per grid program (pipelined by pallas)
-        ep_spec = pl.BlockSpec((1, Bpad), lambda p, *_: (p, 0))
+        # one [1, 1, Bpad] block per grid program (pipelined by pallas).
+        # 3-D on purpose: a (1, Bpad) 2-D block violates Mosaic's
+        # tiling rule (dim -2 must be 8-divisible OR equal the array
+        # dim — 1 of P is neither); with the [P, 1, Bpad] layout both
+        # trailing block dims equal the array dims (the pallas_corr
+        # SMEM-output trick, CLAUDE.md Mosaic quirks).
+        ep_spec = pl.BlockSpec((1, 1, Bpad), lambda p, *_: (p, 0, 0))
         in_specs += [ep_spec, ep_spec, ep_spec]
         ep_operands = [
-            ep_rows.astype(jnp.int32), ep_cols.astype(jnp.int32),
-            ep_w.astype(jnp.float32),
+            ep_rows.astype(jnp.int32)[:, None, :],
+            ep_cols.astype(jnp.int32)[:, None, :],
+            ep_w.astype(jnp.float32)[:, None, :],
         ]
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)]   # maps stay in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
