@@ -725,7 +725,17 @@ class LoopCloser:
         # next to the accept's ~160 ms. Pruned flags ride the same fetch
         # and disable the HostGraph edges permanently.
         prune_chi2 = float(getattr(gcfg, "loop_prune_chi2", 0.0))
-        if prune_chi2 > 0.0:
+        if prune_chi2 > 0.0 and optimizer == "schur_sharded":
+            # the sharded optimizer builds a shard_map eagerly and cannot
+            # trace under lax.cond; prune flags still persist to the
+            # HostGraph, so the NEXT optimize excludes the edges — the
+            # correction lands one accept later
+            chis = se2_graph.edge_chi2s(dev_graph.poses, dev_graph)
+            ei = dev_graph.edges_ij[:, 0]
+            ej = dev_graph.edges_ij[:, 1]
+            is_loop = (ej != ei + 1) & (ei != ej + 1) & dev_graph.edge_mask
+            prune = is_loop & (chis > prune_chi2)
+        elif prune_chi2 > 0.0:
             chis = se2_graph.edge_chi2s(dev_graph.poses, dev_graph)
             ei = dev_graph.edges_ij[:, 0]
             ej = dev_graph.edges_ij[:, 1]
@@ -734,12 +744,28 @@ class LoopCloser:
             g_masked = dev_graph._replace(
                 edge_mask=dev_graph.edge_mask & ~prune
             )
-            dev_graph, chi = self._rerun_optimizer(optimizer, g_masked)
+            # re-solve ONLY when something was pruned: with GNC/DCS a
+            # warm-started re-solve is NOT a no-op (the annealing
+            # restarts from the solved iterate), so an unconditional
+            # re-solve perturbed every clean accept (measured round 5:
+            # it changed the whole endurance accept sequence). lax.cond
+            # keeps the decision on-device — no extra fetch.
+            poses2, chi2_ = jax.lax.cond(
+                jnp.any(prune),
+                lambda: self._rerun_optimizer_poses(optimizer, g_masked),
+                lambda: (dev_graph.poses, chi),
+            )
+            dev_graph = dev_graph._replace(poses=poses2)
+            chi = chi2_
         else:
             prune = jnp.zeros(
                 dev_graph.edge_mask.shape, dtype=bool
             )
         return dev_graph.poses[: len(self.kf_poses)], chi, prune
+
+    def _rerun_optimizer_poses(self, optimizer, g):
+        g2, chi = self._rerun_optimizer(optimizer, g)
+        return g2.poses, chi
 
     def _rerun_optimizer(self, optimizer, g):
         gcfg = self.gcfg
