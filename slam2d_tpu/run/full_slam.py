@@ -725,11 +725,12 @@ class LoopCloser:
         # next to the accept's ~160 ms. Pruned flags ride the same fetch
         # and disable the HostGraph edges permanently.
         prune_chi2 = float(getattr(gcfg, "loop_prune_chi2", 0.0))
-        if prune_chi2 > 0.0 and optimizer == "schur_sharded":
-            # the sharded optimizer builds a shard_map eagerly and cannot
-            # trace under lax.cond; prune flags still persist to the
-            # HostGraph, so the NEXT optimize excludes the edges — the
-            # correction lands one accept later
+        if prune_chi2 > 0.0 and optimizer in ("schur", "schur_sharded"):
+            # the Schur optimizers do host-side plan building (numpy
+            # slicing of edges_ij) and cannot trace under lax.cond;
+            # prune flags still persist to the HostGraph, so the NEXT
+            # optimize excludes the edges — the correction lands one
+            # accept later
             chis = se2_graph.edge_chi2s(dev_graph.poses, dev_graph)
             ei = dev_graph.edges_ij[:, 0]
             ej = dev_graph.edges_ij[:, 1]
