@@ -725,23 +725,38 @@ class LoopCloser:
         # next to the accept's ~160 ms. Pruned flags ride the same fetch
         # and disable the HostGraph edges permanently.
         prune_chi2 = float(getattr(gcfg, "loop_prune_chi2", 0.0))
+
+        def prune_mask(solved_graph, chi):
+            # Two detectors (round-5 endurance diagnosis):
+            # 1. absolute per-edge whitened residual^2 > threshold — the
+            #    stiff-graph case where an alias visibly fights.
+            # 2. converged-chi DELTA of THIS accept > threshold — the
+            #    insidious case: the measured corridor aliases bent the
+            #    whole graph to chi-consistency (their own residual^2
+            #    converged to ~0.5) but raised the converged TOTAL by
+            #    ~14 each, where true accepts add ~0.15 (90x
+            #    separation). chi_prev is the last solve's converged
+            #    value (host float; rides the checkpoint).
+            chis = se2_graph.edge_chi2s(solved_graph.poses, solved_graph)
+            ei = solved_graph.edges_ij[:, 0]
+            ej = solved_graph.edges_ij[:, 1]
+            is_loop = (
+                (ej != ei + 1) & (ei != ej + 1) & solved_graph.edge_mask
+            )
+            prune = is_loop & (chis > prune_chi2)
+            delta_bad = (chi - jnp.float32(self.chi2)) > prune_chi2
+            new_e = jnp.arange(chis.shape[0]) == (self.graph.n_edges - 1)
+            return prune | (new_e & delta_bad)
+
         if prune_chi2 > 0.0 and optimizer in ("schur", "schur_sharded"):
             # the Schur optimizers do host-side plan building (numpy
             # slicing of edges_ij) and cannot trace under lax.cond;
             # prune flags still persist to the HostGraph, so the NEXT
             # optimize excludes the edges — the correction lands one
             # accept later
-            chis = se2_graph.edge_chi2s(dev_graph.poses, dev_graph)
-            ei = dev_graph.edges_ij[:, 0]
-            ej = dev_graph.edges_ij[:, 1]
-            is_loop = (ej != ei + 1) & (ei != ej + 1) & dev_graph.edge_mask
-            prune = is_loop & (chis > prune_chi2)
+            prune = prune_mask(dev_graph, chi)
         elif prune_chi2 > 0.0:
-            chis = se2_graph.edge_chi2s(dev_graph.poses, dev_graph)
-            ei = dev_graph.edges_ij[:, 0]
-            ej = dev_graph.edges_ij[:, 1]
-            is_loop = (ej != ei + 1) & (ei != ej + 1) & dev_graph.edge_mask
-            prune = is_loop & (chis > prune_chi2)
+            prune = prune_mask(dev_graph, chi)
             g_masked = dev_graph._replace(
                 edge_mask=dev_graph.edge_mask & ~prune
             )
@@ -797,6 +812,10 @@ class LoopCloser:
         self.pending_accept = {
             "n0": len(self.kf_poses),   # keyframes covered by the solve
             "dev": dev,
+            # for the Schur host-persist prune path: if THIS edge was
+            # delta-chi-rejected, the fetched poses carry its aliased
+            # correction — fall back to no-op poses
+            "new_edge_idx": self.graph.n_edges - 1,
         }
 
     def _apply_prune(self, pruned):
@@ -821,6 +840,13 @@ class LoopCloser:
         n0 = pa["n0"]
         nk = len(self.kf_poses)
         old_kf = np.stack(self.kf_poses)   # pre-correction for ALL k
+        if np.asarray(pruned)[pa.get("new_edge_idx", -1)]:
+            # the accept itself was delta-chi-rejected; for optimizers
+            # whose prune lands host-side (no in-dispatch re-solve) the
+            # fetched poses still carry the aliased correction — apply
+            # nothing instead (the cond-path optimizers already
+            # re-solved, where corrected0 ~= old poses anyway)
+            corrected0 = old_kf[:n0].copy()
         # keyframes admitted while the solve was in flight move rigidly
         # with the last SOLVED keyframe (the same left transform the
         # frontend-pose patch uses)
@@ -840,6 +866,7 @@ class LoopCloser:
 
     def _accept(self, i, k_new, z, score, est, emitted_upto):
         # synchronous form (defer_accept=False): dispatch + fetch + tail
+        new_edge_idx = self.graph.n_edges  # index add_edge will use
         dev = self._dispatch_optimize(i, k_new, z, score)
         with _accept_phase("accept/optimize+fetch"):
             # ONE blocking fetch for poses + chi (separate np.asarray/float
@@ -848,6 +875,10 @@ class LoopCloser:
         self._apply_prune(pruned)
         self.chi2 = float(chi_h)
         old_kf = np.stack(self.kf_poses)
+        if np.asarray(pruned)[new_edge_idx]:
+            # delta-chi-rejected accept: apply no correction (see
+            # _finalize_accept note)
+            corrected = old_kf[: len(corrected)].copy()
         return self._apply_corrected(
             np.asarray(corrected, np.float32), old_kf, est, emitted_upto
         )
