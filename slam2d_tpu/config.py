@@ -393,15 +393,20 @@ class GraphConfig:
     # measured: 48 converges the 4096-node serpentine to solver noise.
     sparse_cg_iters: int = 48
     # optimize_hier recursion threshold: coarsen by sparse_coarse_stride
-    # until the anchor chain fits an ACCURATE f32 dense Cholesky (the
-    # measured collapse boundary is ~1-2k nodes), so the total
-    # coarsening factor stride^depth adapts to K automatically — one
-    # level to ~16k keyframes, two levels to ~256k (round 5).
-    hier_dense_max: int = 1024
-    # Full V-cycles optimize_hier runs (>1 re-coarsens from the improved
-    # iterate; see bench_hier_floor.py for the measured err-vs-cycles
-    # table that set the default).
-    sparse_hier_cycles: int = 1
+    # until the anchor chain fits an ACCURATE f32 dense Cholesky. The
+    # boundary TIGHTENS with depth (each level divides the chain
+    # information by stride, so the coarse loop/chain info ratio grows:
+    # a 1024-anchor coarse of K=16384 measured NaN where flat K=1024
+    # graphs solve fine); 512 held at every measured K. One level to
+    # ~8k keyframes, two to ~128k (round 5).
+    hier_dense_max: int = 512
+    # Full V-cycles optimize_hier runs; >1 re-coarsens from the improved
+    # iterate, which converges the global modes the first cycle's f32
+    # coarse solve leaves behind (bench_hier_floor.py: K=4096 err
+    # 0.056 -> 7e-5 = the f64 reference's own convergence noise;
+    # K=16384 0.44 -> 0.040) at ~2x the solve cost — accepts are rare,
+    # so 2 is the default.
+    sparse_hier_cycles: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -544,17 +544,22 @@ def optimize_hier(g: PoseGraph, cfg: GraphConfig):
     dense_max = int(getattr(cfg, "hier_dense_max", 1024))
     cycles = max(1, int(getattr(cfg, "sparse_hier_cycles", 1)))
 
-    def vcycle(g_l: PoseGraph, cfg_l: GraphConfig):
+    def vcycle(g_l: PoseGraph, cfg_l: GraphConfig, top: bool):
         """Recursive V-cycle (round 5): coarsen until the anchor chain is
         small enough for an ACCURATE f32 dense Cholesky (<= hier_dense_max
-        nodes — the measured f32 collapse boundary is ~1-2k, so the
+        nodes — the measured f32 collapse boundary is ~1-2k, and the
+        coarse chain's information shrinks by 1/stride per level, so the
         threshold IS the condition-driven stride selection: total
         coarsening factor stride^depth adapts to K with no manual
-        tuning), then prolong + PCG-polish on the way back down at EVERY
-        level — intermediate-level polish transports loop corrections that
-        a single fine-level polish from a K/stride-coarse start cannot
-        (the round-4 single-level form left err 0.057 at K=4096). Shapes
-        are static per level, so the Python recursion traces once."""
+        tuning), then prolong straight down and PCG-polish ONLY at the
+        original level. Intermediate-level PCG polish measured DIVERGENT
+        (chi ~2e8 at the 1024-node coarse of K=16384): coarse chain
+        edges carry ~stride-meter translations, so a heading error moves
+        the next anchor by stride*theta — the GN linearization overshoots
+        at that nonlinearity. The deeper levels' loop structure still
+        enters through the recursive coarse solves' re-anchored loop
+        edges. Shapes are static per level, so the Python recursion
+        traces once."""
         K_l = g_l.poses.shape[0]
         if K_l <= dense_max:
             g2, chi = optimize_dense(g_l, cfg_l)
@@ -562,7 +567,7 @@ def optimize_hier(g: PoseGraph, cfg: GraphConfig):
         gc, ccfg, anchors = _coarse_graph(
             g_l, cfg_l, stride, cfg_l.sparse_max_loops
         )
-        gc2, _chi_c = vcycle(gc, ccfg)
+        gc2, _chi_c = vcycle(gc, ccfg, top=False)
         # prolong: left-transform each segment rigidly with its anchor's
         # correction corr_c = X'_a ⊕ X_a^-1
         corr = jax.vmap(
@@ -572,15 +577,18 @@ def optimize_hier(g: PoseGraph, cfg: GraphConfig):
             jnp.arange(K_l) // stride, corr.shape[0] - 1
         )
         poses1 = jax.vmap(se2.compose)(corr[seg_of], g_l.poses)
-        return optimize_cg(g_l._replace(poses=poses1), cfg_l)
+        g1 = g_l._replace(poses=poses1)
+        if not top:
+            return g1, _chi_c
+        return optimize_cg(g1, cfg_l)
 
-    out, chi = vcycle(g, cfg)
+    out, chi = vcycle(g, cfg, top=True)
     for _ in range(cycles - 1):
         # extra V-cycles re-coarsen from the improved iterate: the coarse
         # measurements re-anchor on the current poses, so global modes
         # that the first cycle's f32 coarse solve left behind get a
         # second pass (sparse_hier_cycles; measured in bench_hier_floor)
-        out, chi = vcycle(out, cfg)
+        out, chi = vcycle(out, cfg, top=True)
     return out, chi
 
 
