@@ -150,6 +150,17 @@ class PFConfig:
     refine_xy: float | None = None
     refine_theta: float | None = None
     refine_n_theta: int | None = None
+    # Motion-prior weight for the refinement matcher (None = inherit the
+    # frontend matcher's 2.0). THE decisive constant for beating good
+    # odometry (round-5 chip study, 0.05 m/1024^2/P=100, matched
+    # proposal noise): the round-4 gap (PF 0.177 vs odom 0.154) was not
+    # in sharpness/gates/windows — all measured neutral-or-worse — but
+    # in the prior being too weak to regularize sub-cell matcher noise
+    # when odometry is spec-grade. Sweep: 2 -> 0.177, 10 -> mean 0.136
+    # (2/3 seeds beat odom), 16 -> 0.135/0.140/0.147 (ALL 3 seeds beat
+    # odom 0.154). Coarse-res configs with noisier odometry keep the
+    # inherited 2.0 (a strong prior would just reproduce bad odometry).
+    refine_prior_weight: float | None = None
     # Scoring kernel for the refinement matcher (None = inherit). The
     # endpoint-image "emx" path wins for vmapped per-particle refinement
     # (the patch-extraction path's per-beam stage-2 matmuls are MXU-

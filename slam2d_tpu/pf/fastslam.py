@@ -77,6 +77,7 @@ def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
         impl = "auto_refine"
     else:
         impl = m.score_impl
+    pw = pf.refine_prior_weight
     return dataclasses.replace(
         m,
         search_xy=m.search_xy if pf.refine_xy is None else pf.refine_xy,
@@ -85,6 +86,9 @@ def refine_matcher(cfg: FrontendConfig, pf: PFConfig):
         ),
         n_theta=m.n_theta if pf.refine_n_theta is None else pf.refine_n_theta,
         score_impl=impl,
+        **({} if pw is None else {
+            "prior_xy_weight": pw, "prior_theta_weight": pw,
+        }),
     )
 
 

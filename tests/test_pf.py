@@ -242,3 +242,16 @@ def test_light_chunk_padded_slots_are_exact_noops():
     np.testing.assert_array_equal(
         np.asarray(out4[6]), np.asarray(out16[6][:4]), err_msg="best poses"
     )
+
+
+def test_refine_prior_weight_override():
+    """refine_prior_weight (the round-5 beat-odometry constant) must land
+    on BOTH prior weights of the refinement matcher; None inherits."""
+    from slam2d_tpu.pf.fastslam import refine_matcher
+
+    cfg = FrontendConfig()
+    m0 = refine_matcher(cfg, PFConfig())
+    assert m0.prior_xy_weight == cfg.matcher.prior_xy_weight
+    m1 = refine_matcher(cfg, PFConfig(refine_prior_weight=16.0))
+    assert m1.prior_xy_weight == 16.0
+    assert m1.prior_theta_weight == 16.0
