@@ -45,7 +45,7 @@ def main():
     from slam2d_tpu.graph.sparse import optimize_cg, optimize_hier
 
     print(f"backend={jax.default_backend()}", flush=True)
-    for K in (512, 1024, 2048, 4096):
+    for K in (512, 1024, 2048, 4096, 16384):
         n_loops = max(10, K // 34)
         g, gt, est, cfg = _serpentine_graph(K, n_loops=n_loops, drift=0.01)
         cfg = dataclasses.replace(cfg, sparse_max_loops=128)
@@ -61,6 +61,8 @@ def main():
             # dense at 4096 = 151 MB H per GN iteration and f32-collapsed
             # accuracy; report hier/schur only
             solvers.pop("dense")
+        if K > 4096:
+            solvers.pop("schur", None)   # block-Schur NaNs with K (r4 table)
         for name, fn in solvers.items():
             try:
                 dt, out, chi = time_opt(fn, g, cfg)
