@@ -133,58 +133,46 @@ def frontend_step(state: FrontendState, odom, ranges, cfg: FrontendConfig):
         rotated >= cfg.map_update_min_rot
     )
 
-    if not uwindowed:
-        def update_branch(_):
+    # NOTE (round 5): a "window-joined" cond variant — branches return
+    # only the [uwin, uwin] windows, with unconditional windowed writes —
+    # was built, verified bit-identical on a full CPU run, and measured
+    # 22% SLOWER on chip (same-session interleaved A/B: 8327 -> 6485
+    # scans/s): the PF finding that cond identity joins copy the full
+    # stack does NOT transfer here — XLA handles this cond's identity
+    # path efficiently, while the variant's unconditional unaligned
+    # dynamic_slice + dynamic_update_slice per scan cost ~35 us. Keep
+    # the full-array cond.
+    def update_branch(_):
+        if not uwindowed:
             logodds = integrate_scan(
                 state.logodds, pose, ranges, cfg.grid, cfg.sensor
             )
             return logodds, build_search_space(
                 logodds, cfg.matcher, cfg.grid.resolution
             )
-
-        def skip_update(_):
-            return state.logodds, state.search_space
-
-        logodds, search_space = jax.lax.cond(
-            do_update, update_branch, skip_update, None
-        )
-    else:
-        # WINDOW-JOINED update cond (round 5): the old form's branches
-        # returned the full (logodds, search_space) pair, so the
-        # lax.cond join moved 2 x [H, W] f32 EVERY scan — ~16 MB at the
-        # bench shape, ~17 us/scan of pure identity-path copy (the PF
-        # host-gating finding, now fixed here at the source). Both
-        # branches now return only the [uwin, uwin] windows; the
-        # windowed writes run unconditionally (the skip branch writes
-        # the just-extracted content back — bit-identical, and the
-        # dynamic_update_slice touches only the window region).
         center = world_to_cell(pose[:2], cfg.grid)
         gw, (r0, c0) = extract_window(state.logodds, center, uwin)
-        halo = blur_halo_cells(cfg.matcher, cfg.grid.resolution)
-
-        def update_branch(gw0):
-            gw2 = integrate_scan(
-                gw0, pose, ranges, cfg.grid, cfg.sensor, origin_rc=(r0, c0)
-            )
-            # Recompute the blurred field on the window; the outer
-            # blur-halo ring saw a truncated neighborhood so it is
-            # trimmed — EXCEPT on sides where the window clamps against
-            # the grid border, where the truncation matches reality
-            # (see write_window_blur_exact).
-            Sw2 = build_search_space(gw2, cfg.matcher, cfg.grid.resolution)
-            return gw2, Sw2
-
-        def skip_update(gw0):
-            Sw0 = jax.lax.dynamic_slice(
-                state.search_space, (r0, c0), (uwin, uwin)
-            )
-            return gw0, Sw0
-
-        gw2, Sw2 = jax.lax.cond(do_update, update_branch, skip_update, gw)
-        logodds = write_window(state.logodds, gw2, (r0, c0))
-        search_space = write_window_blur_exact(
-            state.search_space, Sw2, (r0, c0), halo
+        gw = integrate_scan(
+            gw, pose, ranges, cfg.grid, cfg.sensor, origin_rc=(r0, c0)
         )
+        logodds = write_window(state.logodds, gw, (r0, c0))
+        # Recompute the blurred field on the window; the outer blur-halo
+        # ring saw a truncated neighborhood so it is trimmed — EXCEPT on
+        # sides where the window clamps against the grid border, where the
+        # truncation matches reality (see write_window_blur_exact).
+        Sw = build_search_space(gw, cfg.matcher, cfg.grid.resolution)
+        halo = blur_halo_cells(cfg.matcher, cfg.grid.resolution)
+        search_space = write_window_blur_exact(
+            state.search_space, Sw, (r0, c0), halo
+        )
+        return logodds, search_space
+
+    def skip_update(_):
+        return state.logodds, state.search_space
+
+    logodds, search_space = jax.lax.cond(
+        do_update, update_branch, skip_update, None
+    )
     last_map_pose = jnp.where(do_update, pose, state.last_map_pose)
     dist = state.dist + step_len
     return (
