@@ -252,7 +252,12 @@ class PFConfig:
     # to near one cell, so without dither every particle's map carries
     # the SAME snap-error history and the ensemble cannot average it out
     # (the round-4 residual's "slot-boundary chaos" suspect). "off"
-    # keeps the deterministic snap.
+    # keeps the deterministic snap. "theta_phase" jitters the GLOBAL
+    # theta-slot grid's phase by uniform(-step/2, step/2) per update
+    # event instead — the direct A/B for the slot-boundary-chaos
+    # hypothesis (particles near a slot boundary flip slots chaotically
+    # across events; a jittered grid turns the flip into an unbiased
+    # average). "both" combines the two.
     update_anchor_dither: str = "off"
     # Keep the shared-update image stack f32 past the 4 MB bf16-cast
     # budget (VMEM gate still applies) — the accuracy A/B knob for the
@@ -455,3 +460,10 @@ class FrontendConfig:
     # drift less there — while the 0.1 m-res scenarios prefer 0.15.)
     match_min_motion: float = 0.15
     match_min_rot: float = 0.10
+    # lax.scan unroll factor for the per-chunk device loop. Long scan
+    # programs on this chip carry measurable per-iteration overhead (the
+    # offline whole-log program measured ~30% slower per scan than the
+    # chunked streaming loop); unrolling amortizes the loop machinery
+    # across N scan bodies per iteration at the cost of a bigger program.
+    # Chip A/B (scripts/r5_frontend_unroll.py) picked the default.
+    scan_unroll: int = 1

@@ -139,10 +139,27 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
         jnp.float32(qstep),
         2.0 * jnp.max(jnp.abs(dth)) / jnp.float32(max(G - 1, 1)),
     )
+    # theta-grid phase jitter (config.update_anchor_dither docstring):
+    # shift the WHOLE slot grid by a per-event uniform phase so that a
+    # particle sitting near a slot boundary doesn't flip slots
+    # chaotically from event to event — the direct A/B for the
+    # slot-boundary-chaos residual hypothesis. Exactness is unchanged
+    # (slot_theta shifts with the grid; per-particle error stays
+    # <= step/2).
+    dmode = getattr(pf, "update_anchor_dither", "off")
+    if dither_key is not None and dmode in ("theta_phase", "both"):
+        k_th = jax.random.fold_in(dither_key, 1)
+        phase = jax.random.uniform(k_th, minval=-0.5, maxval=0.5) * step
+    else:
+        phase = jnp.float32(0.0)
     slot = jnp.clip(
-        jnp.round(dth / step).astype(jnp.int32) + G // 2, 0, G - 1
+        jnp.round((dth - phase) / step).astype(jnp.int32) + G // 2,
+        0, G - 1,
     )
-    slot_theta = mean_t + (jnp.arange(G, dtype=jnp.float32) - G // 2) * step
+    slot_theta = (
+        mean_t + phase
+        + (jnp.arange(G, dtype=jnp.float32) - G // 2) * step
+    )
 
     # ---- G update images in a window frame -------------------------------
     # frame: world (0, 0) at the CENTER of cell (win//2, win//2)
@@ -195,7 +212,7 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     # their frac math assumes the undithered anchor)
     anchor_src = poses
     if (dither_key is not None
-            and getattr(pf, "update_anchor_dither", "off") == "random"
+            and dmode in ("random", "both")
             and Q == 1 and not bool(getattr(pf, "update_bilinear", False))):
         u = jax.random.uniform(
             dither_key, (P, 2), minval=-0.5, maxval=0.5

@@ -194,7 +194,9 @@ def make_chunk_fn(cfg: FrontendConfig):
             s2, out = frontend_step(s, o, r, cfg)
             return s2, out
 
-        state, (traj, scores) = jax.lax.scan(body, state, (odom_chunk, ranges_chunk))
+        state, (traj, scores) = jax.lax.scan(
+            body, state, (odom_chunk, ranges_chunk), unroll=cfg.scan_unroll
+        )
         return state, traj, scores
 
     return chunk_fn
@@ -221,7 +223,9 @@ def make_offline_fn(cfg: FrontendConfig):
             s2, out = frontend_step(s, o, r, cfg)
             return s2, out
 
-        state, (traj, scores) = jax.lax.scan(body, state, (odom, ranges))
+        state, (traj, scores) = jax.lax.scan(
+            body, state, (odom, ranges), unroll=cfg.scan_unroll
+        )
         return state, traj, scores
 
     return offline_fn
