@@ -71,6 +71,14 @@ def main():
                     help="scans per device chunk (per-chunk host/tunnel "
                          "overhead amortizes with larger chunks; the "
                          "round-8 profile puts it at ~1.5 ms/chunk)")
+    ap.add_argument("--skip-offline", action="store_true",
+                    help="skip the offline single-dispatch secondary "
+                         "metric (saves ~2 min of whole-log compiles in "
+                         "A/B sessions)")
+    ap.add_argument("--chunks-per-dispatch", type=int, default=None,
+                    help="FrontendConfig.chunks_per_dispatch override "
+                         "(M chunks per device dispatch via a nested "
+                         "scan; measured optimum M=2 — for A/Bs)")
     args = ap.parse_args()
 
     # CARMEN-like sensor, production-ish grid (51.2 m @ 5 cm cells).
@@ -86,6 +94,8 @@ def main():
         ),
         chunk=args.chunk,
         match_min_motion=0.25,   # fine-res tuning (see FrontendConfig note)
+        **({"chunks_per_dispatch": args.chunks_per_dispatch}
+           if args.chunks_per_dispatch is not None else {}),
     )
 
     world = SynthWorld.box_rooms(20.0)
@@ -96,32 +106,44 @@ def main():
     log = simulate_log(world, wp, cfg.sensor, step=0.05, seed=0)
     odom = jnp.asarray(log["odom"])
     ranges = jnp.asarray(log["ranges"])
-    T = (len(odom) // cfg.chunk) * cfg.chunk
-    n_chunks = T // cfg.chunk
+    # M chunks per dispatch via the nested-scan program (bit-identical to
+    # M single-chunk dispatches; chip-measured +4.5% at M=2 — see
+    # FrontendConfig.chunks_per_dispatch)
+    M = max(1, cfg.chunks_per_dispatch)
+    group = cfg.chunk * M
+    T = (len(odom) // group) * group
+    n_groups = T // group
 
-    chunk_fn = make_chunk_fn(cfg)
+    from slam2d_tpu.run.frontend import make_multichunk_fn
+
+    fn = make_multichunk_fn(cfg) if M > 1 else make_chunk_fn(cfg)
     state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
-
 
     # Pre-stage the chunk inputs on device (the double-buffered input
     # prefetch any production feeder does): per-chunk jnp.asarray enqueues
     # cost ~430 scans/s over the remote tunnel at this shape
     # (scripts/bench_frontend_host.py: bench form 7553 vs pre-staged 7982).
-    od = [odom[s : s + cfg.chunk] for s in range(0, T, cfg.chunk)]
-    rg = [ranges[s : s + cfg.chunk] for s in range(0, T, cfg.chunk)]
+    if M > 1:
+        od = [odom[s : s + group].reshape(M, cfg.chunk, 3)
+              for s in range(0, T, group)]
+        rg = [ranges[s : s + group].reshape(M, cfg.chunk, -1)
+              for s in range(0, T, group)]
+    else:
+        od = [odom[s : s + group] for s in range(0, T, group)]
+        rg = [ranges[s : s + group] for s in range(0, T, group)]
     jax.block_until_ready(rg[-1])
 
-    # Warmup: compile + one chunk. np.asarray forces a device->host transfer,
+    # Warmup: compile + one group. np.asarray forces a device->host transfer,
     # which (unlike block_until_ready on some remote backends) really drains
     # the dispatch queue before timing starts.
-    state, tr, sc = chunk_fn(state, od[0], rg[0])
+    state, tr, sc = fn(state, od[0], rg[0])
     np.asarray(tr)
 
     t0 = time.perf_counter()
     done = 0
-    for i in range(1, n_chunks):
-        state, tr, sc = chunk_fn(state, od[i], rg[i])
-        done += cfg.chunk
+    for i in range(1, n_groups):
+        state, tr, sc = fn(state, od[i], rg[i])
+        done += group
     np.asarray(tr)  # hard sync
     dt = time.perf_counter() - t0
 
@@ -136,24 +158,27 @@ def main():
     # carry/scheduling overhead in kilo-iteration scans). Kept as an API
     # mode (bit-identical outputs, single dispatch — useful for
     # embedding) and reported for tracking.
-    from slam2d_tpu.run.frontend import make_offline_fn
+    offline_sps = None
+    if not args.skip_offline:
+        from slam2d_tpu.run.frontend import make_offline_fn
 
-    offline_fn = make_offline_fn(cfg)
-    od_full = odom[:T]
-    rg_full = ranges[:T]
-    st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
-    st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)  # compile
-    np.asarray(tr_off)
-    best = float("inf")
-    for _ in range(3):   # min-of-3: the first post-compile run measures
+        offline_fn = make_offline_fn(cfg)
+        od_full = odom[:T]
+        rg_full = ranges[:T]
         st_off = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
-        t0 = time.perf_counter()
-        st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)
+        st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)  # compile
         np.asarray(tr_off)
-        rep = time.perf_counter() - t0
-        print(f"# offline rep {rep*1e3:.1f} ms", flush=True)
-        best = min(best, rep)
-    offline_sps = T / best
+        best = float("inf")
+        for _ in range(3):   # min-of-3: the first post-compile run measures
+            st_off = frontend_init(cfg, start_pose=odom[0],
+                                   start_odom=odom[0])
+            t0 = time.perf_counter()
+            st_off, tr_off, _ = offline_fn(st_off, od_full, rg_full)
+            np.asarray(tr_off)
+            rep = time.perf_counter() - t0
+            print(f"# offline rep {rep*1e3:.1f} ms", flush=True)
+            best = min(best, rep)
+        offline_sps = T / best
     ref_sps = measure_reference_baseline(log)
     # report the kernels that actually ran (VERDICT r2 weak item 3: the
     # round-2 headline was ambiguous about which update_impl produced it)
@@ -168,7 +193,9 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / ref_sps, 2),
                 "mode": "streaming",
-                "offline_scans_per_sec": round(offline_sps, 2),
+                "chunks_per_dispatch": M,
+                **({"offline_scans_per_sec": round(offline_sps, 2)}
+                   if offline_sps is not None else {}),
                 "reference_scans_per_sec": round(ref_sps, 3),
                 "update_impl": resolve_update_impl(
                     cfg.grid, cfg.sensor, "frontend"

@@ -24,18 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
-def time_dispatch(fn, args, n=200, reps=3):
-    """Chained dispatches (first output leaf becomes first arg leaf);
-    returns best seconds/dispatch."""
-    out = fn(*args)
+def time_dispatch(fn, carry, fixed, n=200, reps=3):
+    """Chained dispatches (the first len(carry) outputs feed the next
+    call's carry; `fixed` args repeat); returns best seconds/dispatch."""
+    out = fn(*carry, *fixed)
     np.asarray(out[-1])
     best = float("inf")
     for _ in range(reps):
-        a = list(args)
+        c = list(carry)
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(*a)
-            a = list(out[: len(a)])
+            out = fn(*c, *fixed)
+            c = list(out[: len(c)])
         np.asarray(out[-1])
         best = min(best, (time.perf_counter() - t0) / n)
     return best
@@ -68,9 +68,9 @@ def main():
     def f2(b1, d):
         return (b1 + 1.0, d[:, 0] + d[:, 3])
 
-    t9 = time_dispatch(f9, (big1, big2, *smalls, od, rg))
-    t4 = time_dispatch(f4, (big1, big2, packed_small, data))
-    t2 = time_dispatch(f2, (big1, data))
+    t9 = time_dispatch(f9, (big1, big2, *smalls), (od, rg))
+    t4 = time_dispatch(f4, (big1, big2, packed_small), (data,))
+    t2 = time_dispatch(f2, (big1,), (data,))
     print(f"trivial dispatch: 9-arg {t9*1e3:.3f} ms | 4-arg {t4*1e3:.3f} "
           f"| 2-arg {t2*1e3:.3f}", flush=True)
 
@@ -117,9 +117,12 @@ def main():
           f"({K/best:.0f} scans/s)", flush=True)
 
     # host-loop-only rate: same loop with dispatch REPLACED by a no-op
-    # python call, to bound the python-side list/loop cost
+    # python call, to bound the python-side list/loop cost. NOTE: must
+    # not index the device arrays — r[:, 0] on a device array enqueues
+    # an eager device op per chunk (the first version measured 48 ms of
+    # exactly that, per CLAUDE.md's eager-op-in-host-loop rule).
     def noop(s, o, r):
-        return s, o, r[:, 0]
+        return s, o, r
     t0 = time.perf_counter()
     s = None
     for i in range(1, n_chunks):

@@ -467,3 +467,19 @@ class FrontendConfig:
     # across N scan bodies per iteration at the cost of a bigger program.
     # Chip A/B (scripts/r5_frontend_unroll.py) picked the default.
     scan_unroll: int = 1
+    # Chunks per device dispatch in the streaming driver: each dispatch
+    # runs an OUTER lax.scan over M inner `chunk`-trip scans (bit-
+    # identical to M separate dispatches — no state crosses a chunk
+    # boundary outside the carried FrontendState). Motivation (round-5
+    # dispatch decomposition, scripts/r5_chunk_fit.py + r5_dispatch_probe):
+    # the real chunk program costs ~0.5-0.7 ms per dispatch over the
+    # remote tunnel (trivial-program floor 0.27-0.30 ms, insensitive to
+    # argument count), while per-scan DEVICE cost grows with the scans
+    # covered by one program (~92-100 us at 64-128-scan span, ~30% worse
+    # by kilo-span — three independent measurements: the chunk-size
+    # sweep, the offline whole-log mode, and the M sweep). M=2 at
+    # chunk=64 is the measured optimum: +4.5% same-session (8335 ->
+    # 8711 scans/s); M=4 gives the win back. Flat bigger chunks lose
+    # MORE (chunk=128 plain scan < M=2 nested) — keep chunk at 64 and
+    # raise span via nesting only.
+    chunks_per_dispatch: int = 2

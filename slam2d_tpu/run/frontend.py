@@ -203,6 +203,37 @@ def make_chunk_fn(cfg: FrontendConfig):
 
 
 @functools.cache
+def make_multichunk_fn(cfg: FrontendConfig):
+    """Jitted (state, odom [M,K,3], ranges [M,K,B]) -> (state, traj
+    [M,K,3], scores [M,K]): one dispatch covering M chunks via an outer
+    lax.scan over inner K-trip scans. Bit-identical to M chunk_fn
+    dispatches; see FrontendConfig.chunks_per_dispatch for the measured
+    motivation (per-dispatch overhead amortizes while the inner trip
+    count stays at the sweet spot — flat longer scans run slower per
+    iteration on this chip)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fn(state, odom_mk, ranges_mk):
+        def inner(s, inp):
+            o, r = inp
+            s2, out = frontend_step(s, o, r, cfg)
+            return s2, out
+
+        def outer(s, inp):
+            o_k, r_k = inp
+            s2, (traj, sc) = jax.lax.scan(
+                inner, s, (o_k, r_k), unroll=cfg.scan_unroll
+            )
+            return s2, (traj, sc)
+
+        state, (traj, scores) = jax.lax.scan(outer, state,
+                                             (odom_mk, ranges_mk))
+        return state, traj, scores
+
+    return fn
+
+
+@functools.cache
 def make_offline_fn(cfg: FrontendConfig):
     """Jitted whole-log program: (state, odom [T,3], ranges [T,B]) ->
     (state, traj [T,3], scores [T]) in ONE dispatch.
@@ -291,10 +322,28 @@ def run_frontend(
     if state is None:
         state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
     chunk_fn = make_chunk_fn(cfg)
+    # group M chunks per dispatch where the log allows (bit-identical;
+    # see FrontendConfig.chunks_per_dispatch) — the tail chunks that
+    # don't fill a group go through the single-chunk program
+    M = max(1, int(getattr(cfg, "chunks_per_dispatch", 1)))
+    mfn = make_multichunk_fn(cfg) if M > 1 else None
 
+    chunks = list(_chunk_iter(odom, ranges, K))
     trajs, scores = [], []
-    for o, r, n_here in _chunk_iter(odom, ranges, K):
-        state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+    i = 0
+    while i < len(chunks):
+        if M > 1 and i + M <= len(chunks):
+            o = np.stack([chunks[i + j][0] for j in range(M)])
+            r = np.stack([chunks[i + j][1] for j in range(M)])
+            n_here = sum(chunks[i + j][2] for j in range(M))
+            state, tr, sc = mfn(state, jnp.asarray(o), jnp.asarray(r))
+            tr = tr.reshape(M * K, 3)
+            sc = sc.reshape(M * K)
+            i += M
+        else:
+            o, r, n_here = chunks[i]
+            state, tr, sc = chunk_fn(state, jnp.asarray(o), jnp.asarray(r))
+            i += 1
         # keep outputs on device: a blocking fetch PER CHUNK serializes the
         # host loop on transfer latency (costly over a remote-TPU tunnel);
         # one device_get at the end drains everything in a single round trip
