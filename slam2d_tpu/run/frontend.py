@@ -233,31 +233,32 @@ def make_multichunk_fn(cfg: FrontendConfig):
     return fn
 
 
-@functools.cache
 def make_offline_fn(cfg: FrontendConfig):
     """Jitted whole-log program: (state, odom [T,3], ranges [T,B]) ->
-    (state, traj [T,3], scores [T]) in ONE dispatch.
+    (state, traj [T,3], scores [T]) in ONE dispatch (T must be a
+    multiple of cfg.chunk; run_frontend_offline pads for you).
 
-    The streaming driver (`run_frontend`) pays a fixed per-chunk host/
-    dispatch cost (~1.5 ms/chunk over the remote-TPU tunnel — the gap
-    between the 8.2-8.6k scans/s streaming headline and the measured
-    94 us/scan device floor, VERDICT r4 item 2). When the whole log is
-    available up front (offline mapping — the reference's own batch
-    usage), the chunk loop itself belongs ON DEVICE: one lax.scan over
-    every scan, one dispatch, one trajectory fetch. Recompiles per log
-    length; use the streaming driver for online/incremental feeds."""
+    When the whole log is available up front (offline mapping — the
+    reference's own batch usage), the chunk loop itself belongs ON
+    DEVICE: one dispatch, one trajectory fetch. The program is the
+    nested scan-of-scans (outer over T/chunk groups, inner over chunk
+    scans) rather than one flat T-trip scan: per-scan device cost GROWS
+    with a single scan's trip count on this chip (~30% by kilo-trips —
+    the round-5 dispatch decomposition in docs/COMPONENTS.md), and
+    nesting keeps the inner trip count at the measured 64-trip sweet
+    spot. Recompiles per log length; use the streaming driver for
+    online/incremental feeds."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    mfn = make_multichunk_fn(cfg)
+
     def offline_fn(state, odom, ranges):
-        def body(s, inp):
-            o, r = inp
-            s2, out = frontend_step(s, o, r, cfg)
-            return s2, out
-
-        state, (traj, scores) = jax.lax.scan(
-            body, state, (odom, ranges), unroll=cfg.scan_unroll
+        T, B = ranges.shape
+        K = cfg.chunk
+        assert T % K == 0, (T, K)
+        state, traj, scores = mfn(
+            state, odom.reshape(T // K, K, 3), ranges.reshape(T // K, K, B)
         )
-        return state, traj, scores
+        return state, traj.reshape(T, 3), scores.reshape(T)
 
     return offline_fn
 
@@ -269,16 +270,26 @@ def run_frontend_offline(
 
     Same semantics as `run_frontend` (bit-identical map and trajectory —
     the chunk boundaries never carried state), minus the per-chunk
-    dispatch overhead. Returns (final_state, traj, scores)."""
+    dispatch overhead. Pads the tail to a chunk multiple exactly like
+    the streaming driver (repeat the last record) and truncates the
+    outputs. Returns (final_state, traj, scores)."""
     odom = np.asarray(log["odom"], np.float32)
     ranges = np.asarray(log["ranges"], np.float32)
+    T = len(odom)
+    K = cfg.chunk
+    if T % K:
+        pad = K - T % K
+        odom = np.concatenate([odom, np.repeat(odom[-1:], pad, axis=0)])
+        ranges = np.concatenate(
+            [ranges, np.repeat(ranges[-1:], pad, axis=0)]
+        )
     if state is None:
         state = frontend_init(cfg, start_pose=odom[0], start_odom=odom[0])
     state, traj, scores = make_offline_fn(cfg)(
         state, jnp.asarray(odom), jnp.asarray(ranges)
     )
     traj, scores = jax.device_get((traj, scores))
-    return state, traj, scores
+    return state, traj[:T], scores[:T]
 
 
 def _chunk_iter(odom: np.ndarray, ranges: np.ndarray, K: int):

@@ -56,3 +56,12 @@ def test_multichunk_bit_identical_with_tail():
     assert np.array_equal(
         np.asarray(s1.search_space), np.asarray(s2.search_space)
     )
+
+    # offline single-dispatch mode (nested scan-of-scans + tail pad)
+    # must also be bit-identical to the streaming loop
+    from slam2d_tpu.run.frontend import run_frontend_offline
+
+    s3, tr3, sc3 = run_frontend_offline(log, cfg1)
+    assert np.array_equal(tr1, tr3)
+    assert np.array_equal(sc1, sc3)
+    assert np.array_equal(np.asarray(s1.logodds), np.asarray(s3.logodds))
