@@ -242,12 +242,14 @@ def make_offline_fn(cfg: FrontendConfig):
     reference's own batch usage), the chunk loop itself belongs ON
     DEVICE: one dispatch, one trajectory fetch. The program is the
     nested scan-of-scans (outer over T/chunk groups, inner over chunk
-    scans) rather than one flat T-trip scan: per-scan device cost GROWS
-    with a single scan's trip count on this chip (~30% by kilo-trips —
-    the round-5 dispatch decomposition in docs/COMPONENTS.md), and
-    nesting keeps the inner trip count at the measured 64-trip sweet
-    spot. Recompiles per log length; use the streaming driver for
-    online/incremental feeds."""
+    scans), sharing the multichunk dispatch machinery. NOTE the
+    measured caveat (round-5 dispatch decomposition, docs/
+    COMPONENTS.md): per-scan device cost grows with the TOTAL scans
+    one program covers — nesting at 128-scan span beats flat (M=2 >
+    chunk-128 > chunk-64 streaming), but by kilo-scan span the
+    penalty dominates either way (~30%+ over streaming), so this mode
+    trades throughput for single-dispatch semantics. Use the
+    streaming driver for throughput and online/incremental feeds."""
 
     mfn = make_multichunk_fn(cfg)
 
@@ -335,8 +337,11 @@ def run_frontend(
     chunk_fn = make_chunk_fn(cfg)
     # group M chunks per dispatch where the log allows (bit-identical;
     # see FrontendConfig.chunks_per_dispatch) — the tail chunks that
-    # don't fill a group go through the single-chunk program
-    M = max(1, int(getattr(cfg, "chunks_per_dispatch", 1)))
+    # don't fill a group go through the single-chunk program. Frame
+    # capture keeps the documented per-CHUNK callback granularity, so
+    # it disables grouping (viz runs are not throughput runs).
+    M = (1 if frame_cb is not None
+         else max(1, int(getattr(cfg, "chunks_per_dispatch", 1))))
     mfn = make_multichunk_fn(cfg) if M > 1 else None
 
     chunks = list(_chunk_iter(odom, ranges, K))
