@@ -66,8 +66,9 @@ def main():
                     help="disable the in-kernel fused endpoint pass "
                          "(PFConfig.update_fused_endpoints=False) for A/Bs")
     ap.add_argument("--anchor-dither", default=None,
-                    help="PFConfig.update_anchor_dither (off|random) -- "
-                         "carve-anchor decorrelation A/B")
+                    help="PFConfig.update_anchor_dither "
+                         "(off|random|theta_phase|both) -- carve-anchor /"
+                         " slot-grid decorrelation A/Bs")
     ap.add_argument("--update-qstep-cells", type=float, default=0.5,
                     help="shared-update rotation quantization target in "
                          "cells at max range (PFConfig.update_qstep_cells; "

@@ -20,7 +20,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/r5_chunk_fit.py
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 
 import numpy as np
@@ -32,32 +31,13 @@ from slam2d_tpu.config import (
     FrontendConfig, GridConfig, MatcherConfig, SensorConfig,
 )
 from slam2d_tpu.data.synth import SynthWorld, simulate_log
-from slam2d_tpu.run.frontend import frontend_init, frontend_step, make_chunk_fn
-
-
-@functools.cache
-def make_multichunk_fn(cfg: FrontendConfig):
-    """Jitted (state, odom [M,K,3], ranges [M,K,B]) -> (state, traj
-    [M,K,3], scores [M,K]) via an outer scan over inner K-trip scans."""
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fn(state, odom_mk, ranges_mk):
-        def inner(s, inp):
-            o, r = inp
-            s2, out = frontend_step(s, o, r, cfg)
-            return s2, out
-
-        def outer(s, inp):
-            o_k, r_k = inp
-            s2, (traj, sc) = jax.lax.scan(inner, s, (o_k, r_k))
-            return s2, (traj, sc)
-
-        state, (traj, scores) = jax.lax.scan(
-            outer, state, (odom_mk, ranges_mk)
-        )
-        return state, traj, scores
-
-    return fn
+from slam2d_tpu.run.frontend import (
+    frontend_init,
+    make_chunk_fn,
+    make_multichunk_fn,  # the production nested-scan program (no copy:
+                         # a drifted duplicate would make the M-sweep
+                         # numbers incomparable to bench.py's)
+)
 
 
 def main():

@@ -481,5 +481,12 @@ class FrontendConfig:
     # chunk=64 is the measured optimum: +4.5% same-session (8335 ->
     # 8711 scans/s); M=4 gives the win back. Flat bigger chunks lose
     # MORE (chunk=128 plain scan < M=2 nested) — keep chunk at 64 and
-    # raise span via nesting only.
+    # raise span via nesting only. COMPILE NOTE: a log whose chunk
+    # count is not a multiple of M also compiles the single-chunk
+    # program for the tail (two remote compiles instead of one; use
+    # JAX_COMPILATION_CACHE_DIR, or feed group-aligned logs as
+    # bench.py does). The tail deliberately does NOT pad to a full
+    # group: padding semantics (repeat-last-record) interact with
+    # in-bootstrap integration and armed match gates, so grouped and
+    # ungrouped runs would no longer return bit-identical final states.
     chunks_per_dispatch: int = 2

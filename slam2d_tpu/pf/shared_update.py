@@ -147,6 +147,10 @@ def shared_update(logodds, poses, ranges, cfg: FrontendConfig,
     # (slot_theta shifts with the grid; per-particle error stays
     # <= step/2).
     dmode = getattr(pf, "update_anchor_dither", "off")
+    if dmode not in ("off", "random", "theta_phase", "both"):
+        # fail loudly: a misspelled mode would otherwise silently run
+        # the undithered control (and poison multi-hour chip A/Bs)
+        raise ValueError(f"unknown update_anchor_dither {dmode!r}")
     if dither_key is not None and dmode in ("theta_phase", "both"):
         k_th = jax.random.fold_in(dither_key, 1)
         phase = jax.random.uniform(k_th, minval=-0.5, maxval=0.5) * step
